@@ -1,0 +1,230 @@
+"""QK-norm parallel-path transformer stack.
+
+This is the single attention stack used by both track autoencoders. The
+architecture contract comes from the reference (/root/reference/attention.py):
+
+* ``QKNormAttention`` — multi-head dot-product attention with bias-free Q/K/V
+  projections, RMSNorm applied to the *projected* query and key heads
+  (attention.py:154-167), and a biased output projection over the flattened
+  head axes (attention.py:178-183).
+* ``ParallelTransformerBlock`` — one shared pre-LayerNorm; self-attention and
+  (optionally) cross-attention are computed from the same normalized queries
+  and both added to the raw residual in parallel (attention.py:76-100); the
+  MLP follows its own LayerNorm (attention.py:103-108). Cross-attention K/V
+  come from the *unnormalized* ``inputs_kv``.
+* ``TransformerStack`` — ``num_layers`` blocks named ``layer_{i}`` with a
+  final bias-free LayerNorm ``norm_encoder`` (attention.py:37-51), and the
+  rank-match head-axis auto-insertion for masks (attention.py:32-35).
+
+Parameter names/shapes match the reference exactly so released ``.npz``
+checkpoints load unchanged. The *implementation* is TPU-first: computation
+dtype is configurable (bfloat16 matmuls on the MXU with float32 softmax and
+accumulation), attention is a single batched einsum pipeline XLA fuses into
+MXU ops, and masks are applied with a large-negative fill that preserves the
+reference's fully-masked-row semantics (uniform weights -> mean of values).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+
+def masked_dot_product_attention(
+    query,  # float['*B Q H D']
+    key,  # float['*B K H D']
+    value,  # float['*B K H D']
+    mask=None,  # Optional['*B #H #Q #K'] (any dtype; nonzero == attend)
+    compute_dtype: Any = jnp.float32,
+):
+    """Multi-head attention core with f32 softmax and configurable matmul dtype.
+
+    Heads ride the MXU as one batched matmul; the softmax always runs in
+    float32. A fully-masked query row degrades to uniform weights (the mean of
+    the values), matching the reference's flax semantics.
+    """
+    depth = query.shape[-1]
+    q = query.astype(compute_dtype) / jnp.sqrt(depth).astype(compute_dtype)
+    k = key.astype(compute_dtype)
+    v = value.astype(compute_dtype)
+
+    # (*B Q H D) x (*B K H D) -> (*B H Q K), accumulated in f32.
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        big_neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask.astype(bool), logits, big_neg)
+    probs = nn.softmax(logits, axis=-1)
+
+    out = jnp.einsum(
+        "...hqk,...khd->...qhd",
+        probs.astype(compute_dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
+class QKNormAttention(nn.Module):
+    """Multi-head dot-product attention with RMSNorm on projected Q/K heads.
+
+    Attributes:
+      num_heads: number of attention heads.
+      qk_size: total query/key projection width (split across heads).
+      v_size: total value width; defaults to ``qk_size``.
+      dtype: computation dtype for the matmuls (params stay float32).
+    """
+
+    num_heads: int
+    qk_size: int
+    v_size: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_q,  # float['*B Q d1']
+        inputs_kv,  # float['*B K d2']
+        mask=None,  # Optional['*B #H #Q #K']
+    ):
+        v_size = self.qk_size if self.v_size is None else self.v_size
+        if self.qk_size % self.num_heads:
+            raise ValueError(f"{self.num_heads=} must divide {self.qk_size=}.")
+        if v_size % self.num_heads:
+            raise ValueError(f"{v_size=} must divide {self.num_heads=}.")
+
+        head_qk = self.qk_size // self.num_heads
+        head_v = v_size // self.num_heads
+
+        query = nn.DenseGeneral(
+            features=(self.num_heads, head_qk),
+            use_bias=False,
+            dtype=self.dtype,
+            name="dense_query",
+        )(inputs_q)
+        key = nn.DenseGeneral(
+            features=(self.num_heads, head_qk),
+            use_bias=False,
+            dtype=self.dtype,
+            name="dense_key",
+        )(inputs_kv)
+
+        # QK-norm: RMS-normalize each projected head (f32 statistics).
+        query = nn.RMSNorm(dtype=jnp.float32, name="norm_query")(query)
+        key = nn.RMSNorm(dtype=jnp.float32, name="norm_key")(key)
+
+        value = nn.DenseGeneral(
+            features=(self.num_heads, head_v),
+            use_bias=False,
+            dtype=self.dtype,
+            name="dense_value",
+        )(inputs_kv)
+
+        x = masked_dot_product_attention(
+            query, key, value, mask=mask, compute_dtype=self.dtype
+        )
+
+        out = nn.DenseGeneral(
+            features=inputs_q.shape[-1],
+            axis=(-2, -1),
+            use_bias=True,
+            dtype=self.dtype,
+            name="dense_out",
+        )(x)
+        return out.astype(jnp.float32)
+
+
+class ParallelTransformerBlock(nn.Module):
+    """Pre-LN block with parallel self- + cross-attention into one residual."""
+
+    mlp_size: int
+    num_heads: int
+    qkv_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        queries,  # float['*b n d']
+        inputs_kv,  # Optional[float['*b N D']]
+        qq_mask=None,
+        qk_mask=None,
+    ):
+        width = queries.shape[-1]
+        normed_queries = nn.LayerNorm(
+            use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_q"
+        )(queries)
+        attn_out = queries
+
+        attn_out += QKNormAttention(
+            num_heads=self.num_heads,
+            qk_size=self.qkv_size,
+            dtype=self.dtype,
+            name="self_att",
+        )(inputs_q=normed_queries, inputs_kv=normed_queries, mask=qq_mask)
+
+        if inputs_kv is not None:
+            attn_out += QKNormAttention(
+                num_heads=self.num_heads,
+                qk_size=self.qkv_size,
+                dtype=self.dtype,
+                name="cross_att",
+            )(inputs_q=normed_queries, inputs_kv=inputs_kv, mask=qk_mask)
+
+        normed_attn_out = nn.LayerNorm(
+            use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_attn"
+        )(attn_out)
+        h = nn.gelu(
+            nn.Dense(self.mlp_size, dtype=self.dtype, name="MLP_in")(normed_attn_out)
+        )
+        mlp_out = nn.Dense(width, dtype=self.dtype, name="MLP_out")(h)
+        return attn_out + mlp_out.astype(jnp.float32)
+
+
+class TransformerStack(nn.Module):
+    """Stack of ``ParallelTransformerBlock`` layers + final LayerNorm.
+
+    Mask convention: ``qq_mask`` gates self-attention, ``qk_mask`` gates
+    cross-attention to ``inputs_kv``. If a mask's rank equals the rank of its
+    operand, a broadcast head axis is inserted automatically
+    (reference attention.py:32-35).
+    """
+
+    qkv_size: int
+    num_heads: int
+    mlp_size: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        queries,  # float['... d1']
+        inputs_kv=None,  # Optional[float['*b N D']]
+        qk_mask=None,
+        qq_mask=None,
+    ):
+        if (
+            qk_mask is not None
+            and inputs_kv is not None
+            and qk_mask.ndim == inputs_kv.ndim
+        ):
+            qk_mask = qk_mask[..., jnp.newaxis, :, :]
+        if qq_mask is not None and qq_mask.ndim == queries.ndim:
+            qq_mask = qq_mask[..., jnp.newaxis, :, :]
+
+        for i in range(self.num_layers):
+            queries = ParallelTransformerBlock(
+                qkv_size=self.qkv_size,
+                num_heads=self.num_heads,
+                mlp_size=self.mlp_size,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(queries, inputs_kv=inputs_kv, qq_mask=qq_mask, qk_mask=qk_mask)
+
+        return nn.LayerNorm(
+            use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_encoder"
+        )(queries)

@@ -1,0 +1,63 @@
+"""Attention-mask construction for ragged track sets.
+
+Tracks are padded to static shapes (TPU-friendly); raggedness is expressed
+through two signals that gate attention *keys*:
+
+* ``boundary_frame`` — the first padding frame per batch element; keys at
+  frames >= boundary are masked (reference track_autoencoder.py:217-229).
+* per-frame visibility — invisible frames are masked as keys.
+
+The 3D encoder prepends a learnable readout token whose key column is always
+attendable. The reference's construction of that mask is shape-inconsistent
+for T>1 (track_autoencoder_3d.py:167-180 concatenates a [*B,N,1,1] block onto
+[*B,N,T,T] on the row axis); this module implements the intended semantics:
+a [*B,N,T+1,T+1] mask whose key axis is [always-on readout | visible*in-bounds
+frames], with every query row identical.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def frame_partition_mask(num_frames: int, boundary_frame):
+    """[*B 1 1 T] mask: frame t attendable iff t < boundary_frame."""
+    time = jnp.arange(num_frames)
+    return time < boundary_frame[..., jnp.newaxis, jnp.newaxis, jnp.newaxis]
+
+
+def visibility_key_mask(visible):  # float['*B N T 1'] -> bool['*B N T T']
+    """Square per-track mask whose column k is the visibility of frame k."""
+    vis = visible[..., 0].astype(bool)
+    return jnp.ones_like(vis[..., jnp.newaxis]) * vis[..., jnp.newaxis, :]
+
+
+def track_temporal_mask(visible, boundary_frame):
+    """[*B N T T] self-attention mask over each track's frame tokens.
+
+    Key k attendable iff visible[k] and k < boundary_frame (2D encoder
+    semantics, reference track_autoencoder.py:217-229).
+    """
+    num_frames = visible.shape[-2]
+    partition = frame_partition_mask(num_frames, boundary_frame)
+    return partition * visibility_key_mask(visible)
+
+
+def readout_temporal_mask(visible, boundary_frame):
+    """[*B N T+1 T+1] mask for [readout | frame tokens] self-attention.
+
+    Key 0 (the readout token) is always attendable; key k+1 is attendable iff
+    visible[k] and k < boundary_frame. All query rows are identical — the
+    intended behavior of reference track_autoencoder_3d.py:167-180 (whose
+    literal construction is shape-inconsistent for T>1).
+    """
+    num_frames = visible.shape[-2]
+    vis = visible[..., 0].astype(bool)  # [*B N T]
+    time = jnp.arange(num_frames)
+    in_bounds = time < boundary_frame[..., jnp.newaxis, jnp.newaxis]  # [*B 1 T]
+    key_ok = vis & in_bounds  # [*B N T]
+    readout_col = jnp.ones_like(key_ok[..., :1])
+    keys = jnp.concatenate([readout_col, key_ok], axis=-1)  # [*B N T+1]
+    return jnp.broadcast_to(
+        keys[..., jnp.newaxis, :], keys.shape[:-1] + (num_frames + 1, num_frames + 1)
+    )

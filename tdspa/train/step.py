@@ -1,0 +1,142 @@
+"""Jitted train/eval steps, mesh-sharded.
+
+This is the working implementation of the reference's intended step
+(train.py:132-214 cannot execute as written — SURVEY §2.9 Q1/Q2): gradients
+via ``jax.value_and_grad``, a real ``optimizer.update``, and metrics returned
+as device scalars (no ``float()`` on tracers).
+
+Parallelism: with a mesh, the step is compiled with ``NamedSharding``
+in/out shardings — batch over ``data`` (+ track/query sets over ``seq``),
+params/opt_state replicated. XLA inserts the gradient all-reduce over ICI;
+there is no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tdspa.parallel.shardings import train_batch_spec
+from tdspa.train.losses import compute_loss_2d, compute_loss_3d
+
+
+def make_train_step(model, optimizer, schedule=None, mesh=None, donate: bool = True):
+    """Build the jitted training step for ``model``.
+
+    Args:
+      model: a TrackAutoEncoder / TrackAutoEncoder3D instance.
+      optimizer: optax GradientTransformation.
+      schedule: optional lr schedule (step -> lr) for the logged rate.
+      mesh: optional ``jax.sharding.Mesh``; batch shards over it.
+      donate: donate the state buffers (in-place param update on device).
+
+    Returns:
+      step(state, batch) -> (new_state, metrics) with reference metric names
+      ``train/{loss,position_loss,visible_loss,learning_rate}``.
+    """
+    loss_fn_impl = (
+        compute_loss_3d
+        if model.__class__.__name__ == "TrackAutoEncoder3D"
+        else compute_loss_2d
+    )
+
+    def step(state, batch):
+        def loss_fn(params):
+            predictions = model.apply({"params": params}, batch)
+            loss_dict = loss_fn_impl(predictions, batch)
+            return loss_dict["total_loss"], loss_dict
+
+        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        lr = (
+            schedule(state.step)
+            if schedule is not None
+            else jnp.zeros((), jnp.float32)
+        )
+        metrics = {
+            "train/loss": loss,
+            "train/position_loss": loss_dict["position_loss"],
+            "train/visible_loss": loss_dict["visible_loss"],
+            "train/learning_rate": lr,
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    specs = train_batch_spec()
+    repl = NamedSharding(mesh, P())
+
+    def shard_of(key):
+        return NamedSharding(mesh, specs.get(key, P()))
+
+    def batch_shardings(batch):
+        return {k: shard_of(k) for k in batch}
+
+    @functools.wraps(step)
+    def sharded_step(state, batch):
+        compiled = jax.jit(
+            step,
+            in_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, state),
+                batch_shardings(batch),
+            ),
+            out_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, state),
+                None,
+            ),
+            donate_argnums=(0,) if donate else (),
+        )
+        return compiled(state, batch)
+
+    return sharded_step
+
+
+def make_eval_step(model, mesh=None):
+    """Jitted eval step: forward + loss metrics
+    (``eval/{loss,position_loss,visible_loss}``)."""
+    loss_fn_impl = (
+        compute_loss_3d
+        if model.__class__.__name__ == "TrackAutoEncoder3D"
+        else compute_loss_2d
+    )
+
+    def step(params, batch):
+        predictions = model.apply({"params": params}, batch)
+        loss_dict = loss_fn_impl(predictions, batch)
+        metrics = {
+            "eval/loss": loss_dict["total_loss"],
+            "eval/position_loss": loss_dict["position_loss"],
+            "eval/visible_loss": loss_dict["visible_loss"],
+        }
+        return metrics, predictions
+
+    if mesh is None:
+        return jax.jit(step)
+
+    specs = train_batch_spec()
+    repl = NamedSharding(mesh, P())
+
+    def sharded_step(params, batch):
+        compiled = jax.jit(
+            step,
+            in_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, params),
+                {k: NamedSharding(mesh, specs.get(k, P())) for k in batch},
+            ),
+        )
+        return compiled(params, batch)
+
+    return sharded_step

@@ -1,0 +1,51 @@
+"""Unit tests: boundary/visibility attention-mask semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tdspa.core.masks import (
+    readout_temporal_mask,
+    track_temporal_mask,
+    visibility_key_mask,
+)
+
+
+def test_track_temporal_mask_semantics():
+    # 1 batch, 1 track, 4 frames; frame 2 invisible, boundary at 3.
+    visible = jnp.array([[[1.0, 1.0, 0.0, 1.0]]])[..., None]  # [1,1,4,1]
+    boundary = jnp.array([3])
+    mask = track_temporal_mask(visible, boundary)
+    assert mask.shape == (1, 1, 4, 4)
+    m = np.asarray(mask[0, 0]).astype(bool)
+    # Key k attendable iff visible[k] and k < 3; identical for all query rows.
+    expected_keys = [True, True, False, False]
+    for q in range(4):
+        np.testing.assert_array_equal(m[q], expected_keys)
+
+
+def test_readout_temporal_mask_semantics():
+    visible = jnp.array([[[1.0, 0.0, 1.0]]])[..., None]  # [1,1,3,1]
+    boundary = jnp.array([2])
+    mask = readout_temporal_mask(visible, boundary)
+    assert mask.shape == (1, 1, 4, 4)  # T+1 tokens
+    m = np.asarray(mask[0, 0]).astype(bool)
+    # Key 0 = readout (always on); keys 1..3 = frames (vis & in-bounds).
+    expected_keys = [True, True, False, False]
+    for q in range(4):
+        np.testing.assert_array_equal(m[q], expected_keys)
+
+
+def test_visibility_key_mask_is_column_broadcast():
+    visible = jnp.array([[[1.0, 0.0]]])[..., None]
+    m = np.asarray(visibility_key_mask(visible)[0, 0])
+    np.testing.assert_array_equal(m, [[True, False], [True, False]])
+
+
+def test_batch_boundary_broadcast():
+    visible = jnp.ones((2, 3, 5, 1))
+    boundary = jnp.array([5, 2])
+    mask = np.asarray(track_temporal_mask(visible, boundary)).astype(bool)
+    assert mask[0].all()
+    np.testing.assert_array_equal(
+        mask[1, 0, 0], [True, True, False, False, False]
+    )
