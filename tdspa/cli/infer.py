@@ -1,0 +1,93 @@
+"""Inference CLI — reference-compatible flag surface (inference.py:53-64).
+
+Example:
+  python -m tdspa.cli.infer --video_path=clip.mp4 \
+      --checkpoint_path=3dspa_ckpt.npz --output_dir=./out
+
+Extra flags beyond the reference: --track_provider
+(cotracker|lk|static|npz:<path>), --precomputed_tracks, --seed.
+"""
+
+from absl import app, flags, logging
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("checkpoint_path", None, "Path to 3DSPA model checkpoint")
+flags.DEFINE_string("video_path", None, "Path to input video file")
+flags.DEFINE_string("output_dir", "./inference_output", "Output directory")
+flags.DEFINE_integer("num_output_frames", 150, "Number of output frames")
+flags.DEFINE_bool("use_dino", True, "Use DINOv2 features")
+flags.DEFINE_bool("use_depth", True, "Use depth features")
+flags.DEFINE_integer("num_query_points", 512, "Number of query points")
+flags.DEFINE_integer("num_support_tracks", 2048, "Number of support tracks")
+flags.DEFINE_integer("tracking_grid_size", 64, "Grid size for dense tracking")
+flags.DEFINE_string("dino_model", "facebook/dinov2-base", "DINOv2 model name")
+flags.DEFINE_string("vda_model_path", None, "VideoDepthAnything checkpoint (.pth)")
+flags.DEFINE_string(
+    "vda_encoder", "vitb", "VideoDepthAnything encoder: vits, vitb, or vitl"
+)
+# tdspa extras
+flags.DEFINE_string(
+    "track_provider", "auto",
+    "auto | cotracker | lk | static | npz:<path-to-tracks.npz>",
+)
+flags.DEFINE_integer("seed", 0, "Support/query split RNG seed")
+
+
+def _build_track_provider():
+    from tdspa.features import tracks as T
+
+    choice = FLAGS.track_provider
+    if choice.startswith("npz:"):
+        return T.PrecomputedTrackProvider(choice[4:])
+    if choice == "cotracker":
+        return T.CoTrackerProvider(grid_size=FLAGS.tracking_grid_size)
+    if choice == "lk":
+        return T.PyramidalLKTracker(grid_size=FLAGS.tracking_grid_size)
+    if choice == "static":
+        return T.StaticGridProvider(grid_size=FLAGS.tracking_grid_size)
+    return None  # auto: cotracker if importable else LK
+
+
+def main(argv):
+    del argv
+    if FLAGS.video_path is None:
+        raise ValueError("Must provide video_path")
+    if FLAGS.checkpoint_path is None:
+        raise ValueError("Must provide checkpoint_path")
+
+    from tdspa.infer.pipeline import InferencePipeline, save_results
+
+    depth_provider = None
+    if FLAGS.vda_model_path:
+        from tdspa.features.depth import TorchVDAProvider
+
+        depth_provider = TorchVDAProvider(
+            encoder=FLAGS.vda_encoder, model_path=FLAGS.vda_model_path
+        )
+
+    pipeline = InferencePipeline(
+        checkpoint_path=FLAGS.checkpoint_path,
+        num_output_frames=FLAGS.num_output_frames,
+        use_dino=FLAGS.use_dino,
+        use_depth=FLAGS.use_depth,
+        num_query_points=FLAGS.num_query_points,
+        num_support_tracks=FLAGS.num_support_tracks,
+        tracking_grid_size=FLAGS.tracking_grid_size,
+        dino_model=FLAGS.dino_model,
+        vda_encoder=FLAGS.vda_encoder,
+        track_provider=_build_track_provider(),
+        depth_provider=depth_provider,
+        seed=FLAGS.seed,
+    )
+    results = pipeline.run(FLAGS.video_path)
+    save_results(results, FLAGS.output_dir)
+    logging.info("Inference completed!")
+
+
+def cli():
+    app.run(main)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,126 @@
+"""Training CLI — reference-compatible flag surface (train.py:24-38).
+
+Example:
+  python -m tdspa.cli.train --model_type=3dspa --dataset_path=/data/kubric3d \
+      --batch_size=64 --num_epochs=300
+
+``--config_path`` is accepted and, as in the reference (train.py:308), used
+as the dataset path when ``--dataset_path`` is not given. Extra flags beyond
+the reference: --dataset_path, --max_steps, --tiny_model, --use_wandb,
+--log_jsonl, --seq_shards.
+"""
+
+from absl import app, flags, logging
+import jax
+
+from tdspa.data.providers import load_kubric3d_dataset, load_tapvid_dataset
+from tdspa.train.loop import train
+from tdspa.train.metrics import MetricLogger
+
+FLAGS = flags.FLAGS
+
+flags.DEFINE_string("model_type", "trajan", "Model type: trajan or 3dspa")
+flags.DEFINE_string("config_path", None, "Path to config file")
+flags.DEFINE_string("checkpoint_dir", "./checkpoints", "Checkpoint directory")
+flags.DEFINE_string("wandb_project", "3dspa", "WandB project name")
+flags.DEFINE_string("wandb_entity", None, "WandB entity name")
+flags.DEFINE_string("wandb_run_name", None, "WandB run name")
+flags.DEFINE_integer("num_epochs", 300, "Number of training epochs")
+flags.DEFINE_integer("batch_size", 64, "Batch size")
+flags.DEFINE_integer("eval_freq", 1000, "Evaluation frequency in steps")
+flags.DEFINE_integer("save_freq", 5000, "Checkpoint save frequency in steps")
+flags.DEFINE_float("learning_rate", 1e-4, "Learning rate")
+flags.DEFINE_integer("warmup_steps", 10000, "Warmup steps")
+flags.DEFINE_integer("num_output_frames", 150, "Number of output frames")
+flags.DEFINE_bool("use_dino", True, "Use DINO features (for 3DSPA)")
+flags.DEFINE_bool("use_depth", True, "Use depth features (for 3DSPA)")
+# tdspa extras
+flags.DEFINE_string("dataset_path", None, "Dataset directory (.npz per video)")
+flags.DEFINE_integer("max_steps", None, "Stop after this many steps")
+flags.DEFINE_bool("tiny_model", False, "Use a tiny model config (smoke tests)")
+flags.DEFINE_bool("use_wandb", True, "Log to WandB when available")
+flags.DEFINE_string("log_jsonl", None, "Also append metrics to this JSONL file")
+flags.DEFINE_integer("num_support_tracks", 2048, "Support tracks per example")
+flags.DEFINE_integer("num_query_tracks", 2048, "Query tracks per example")
+flags.DEFINE_integer("log_freq", 10, "Metric logging frequency in steps")
+
+
+def main(argv):
+    del argv
+    dataset_path = FLAGS.dataset_path or FLAGS.config_path or "./data"
+
+    loader_kwargs = dict(
+        batch_size=FLAGS.batch_size,
+        num_support_tracks=FLAGS.num_support_tracks,
+        num_query_tracks=FLAGS.num_query_tracks,
+        num_frames=FLAGS.num_output_frames,
+    )
+    if FLAGS.model_type == "3dspa":
+        train_ds = load_kubric3d_dataset(
+            dataset_path, split="train", shuffle=True,
+            use_dino=FLAGS.use_dino, use_depth=FLAGS.use_depth, **loader_kwargs,
+        )
+        eval_ds = load_kubric3d_dataset(
+            dataset_path, split="validation", shuffle=False,
+            use_dino=FLAGS.use_dino, use_depth=FLAGS.use_depth, **loader_kwargs,
+        )
+    else:
+        train_ds = load_tapvid_dataset(
+            dataset_path, split="train", shuffle=True, **loader_kwargs
+        )
+        eval_ds = load_tapvid_dataset(
+            dataset_path, split="validation", shuffle=False, **loader_kwargs
+        )
+
+    logger = MetricLogger(
+        project=FLAGS.wandb_project,
+        entity=FLAGS.wandb_entity,
+        run_name=FLAGS.wandb_run_name
+        or f"{FLAGS.model_type}_{FLAGS.wandb_project}",
+        config={
+            "model_type": FLAGS.model_type,
+            "batch_size": FLAGS.batch_size,
+            "learning_rate": FLAGS.learning_rate,
+            "num_epochs": FLAGS.num_epochs,
+            "num_output_frames": FLAGS.num_output_frames,
+            "use_dino": FLAGS.use_dino,
+            "use_depth": FLAGS.use_depth,
+        },
+        use_wandb=FLAGS.use_wandb,
+        jsonl_path=FLAGS.log_jsonl,
+    )
+
+    overrides = {}
+    if FLAGS.tiny_model:
+        from tdspa.utils.testing import TINY_3D
+
+        overrides = dict(TINY_3D)
+
+    logging.info("devices: %s", jax.devices())
+    train(
+        train_ds,
+        eval_ds=eval_ds,
+        model_type=FLAGS.model_type,
+        num_epochs=FLAGS.num_epochs,
+        learning_rate=FLAGS.learning_rate,
+        warmup_steps=FLAGS.warmup_steps,
+        num_output_frames=FLAGS.num_output_frames,
+        use_dino=FLAGS.use_dino,
+        use_depth=FLAGS.use_depth,
+        eval_freq=FLAGS.eval_freq,
+        save_freq=FLAGS.save_freq,
+        log_freq=FLAGS.log_freq,
+        checkpoint_dir=FLAGS.checkpoint_dir,
+        logger=logger,
+        max_steps=FLAGS.max_steps,
+        **overrides,
+    )
+    logging.info("Training completed")
+
+
+def cli():
+    app.run(main)
+
+
+if __name__ == "__main__":
+    cli()

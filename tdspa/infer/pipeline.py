@@ -1,0 +1,308 @@
+"""End-to-end single-video inference: video -> 3D track predictions.
+
+Reference call chain (inference.py:511-635): load video -> CoTracker 2D
+tracks -> DINOv2 features -> VDA depth -> *host* NumPy loops for lifting /
+feature sampling -> np.random support/query split -> model forward.
+
+TPU-native restructuring: the three neural front-ends run as batched XLA
+forwards (providers, each pluggable), and everything after them — 2D->3D
+lifting, bilinear feature sampling, the support/query split, query-point
+sampling, and the autoencoder forward — is ONE jitted program
+(``fused_tail``). The ~1.2M-iteration host loops of the reference become
+dense gathers on device; the split uses a ``jax.random`` key (reproducible;
+RNG contract documented in data/batch_prep.py).
+
+Output schema (predictions.npz + video_info.txt) matches the reference
+(inference.py:638-660).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any
+
+from absl import logging
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdspa.data.batch_prep import split_and_sample_queries
+from tdspa.infer.checkpoint import check_params_structure, load_checkpoint
+from tdspa.infer.video import load_video
+from tdspa.models import TrackAutoEncoder3D
+from tdspa.ops.geometry import (
+    lift_2d_to_3d,
+    sample_depth_features_for_tracks,
+    sample_dino_features_for_tracks,
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "num_support", "num_queries", "video_hw", "use_dino", "use_depth",
+    ),
+)
+def fused_tail(
+    params,
+    tracks_2d,  # [N T 2]
+    visible,  # [N T 1]
+    dino_grid,  # [T Hp Wp D] | None
+    depth_maps,  # [T H W 1] | None
+    key,
+    model,
+    num_support: int,
+    num_queries: int,
+    video_hw: tuple,
+    use_dino: bool = True,
+    use_depth: bool = True,
+):
+    """Lift + sample + split + autoencode in one on-device program."""
+    num_frames = tracks_2d.shape[1]
+    if use_depth and depth_maps is not None:
+        tracks_3d = lift_2d_to_3d(tracks_2d, depth_maps)
+    else:
+        tracks_3d = jnp.concatenate(
+            [tracks_2d, jnp.ones(tracks_2d.shape[:-1] + (1,))], axis=-1
+        )
+
+    dino_feats = (
+        sample_dino_features_for_tracks(
+            dino_grid, tracks_2d, (num_frames,) + tuple(video_hw) + (3,)
+        )
+        if use_dino and dino_grid is not None
+        else None
+    )
+    depth_feats = (
+        sample_depth_features_for_tracks(depth_maps, tracks_2d)
+        if use_depth and depth_maps is not None
+        else None
+    )
+
+    batch = split_and_sample_queries(
+        key,
+        tracks_3d,
+        visible,
+        num_support=num_support,
+        num_queries=num_queries,
+        num_frames=num_frames,
+        dino_features=dino_feats,
+        depth_features=depth_feats,
+    )
+    predictions = model.apply({"params": params}, batch)
+    return predictions, batch, tracks_3d
+
+
+class InferencePipeline:
+    """Configured end-to-end pipeline with pluggable front-ends."""
+
+    def __init__(
+        self,
+        checkpoint_path: str | None = None,
+        params=None,
+        num_output_frames: int = 150,
+        use_dino: bool = True,
+        use_depth: bool = True,
+        num_query_points: int = 512,
+        num_support_tracks: int = 2048,
+        tracking_grid_size: int = 64,
+        dino_model: str = "facebook/dinov2-base",
+        vda_encoder: str = "vitb",
+        track_provider=None,
+        dino_extractor=None,
+        depth_provider=None,
+        model: Any = None,
+        seed: int = 0,
+        dtype=jnp.bfloat16,
+    ):
+        self.num_output_frames = num_output_frames
+        self.use_dino = use_dino
+        self.use_depth = use_depth
+        self.num_query_points = num_query_points
+        self.num_support_tracks = num_support_tracks
+        self.tracking_grid_size = tracking_grid_size
+        self.dino_model_name = dino_model
+        self.vda_encoder = vda_encoder
+        self.seed = seed
+        self.model = model or TrackAutoEncoder3D(
+            num_output_frames=num_output_frames,
+            use_dino=use_dino,
+            use_depth=use_depth,
+            dtype=dtype,
+        )
+        self._track_provider = track_provider
+        self._dino_extractor = dino_extractor
+        self._depth_provider = depth_provider
+        self.params = params
+        self.checkpoint_path = checkpoint_path
+        self.timings: dict[str, float] = {}
+
+    # Lazy front-ends (each may pull weights / build jit programs).
+    @property
+    def track_provider(self):
+        if self._track_provider is None:
+            from tdspa.features.tracks import PyramidalLKTracker
+
+            self._track_provider = PyramidalLKTracker(
+                grid_size=self.tracking_grid_size
+            )
+        return self._track_provider
+
+    @property
+    def dino_extractor(self):
+        if self._dino_extractor is None:
+            from tdspa.features.dino import DinoFeatureExtractor
+
+            self._dino_extractor = DinoFeatureExtractor(
+                model_name=self.dino_model_name
+            )
+        return self._dino_extractor
+
+    @property
+    def depth_provider(self):
+        if self._depth_provider is None:
+            from tdspa.features.depth import VideoDepthEstimator
+
+            self._depth_provider = VideoDepthEstimator(encoder=self.vda_encoder)
+        return self._depth_provider
+
+    def load_params(self, example_batch):
+        """Checkpoint load + structure validation (inference.py:601-619)."""
+        init_params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(42), example_batch
+        )["params"]
+        if self.params is not None:
+            params = self.params
+        elif self.checkpoint_path:
+            params = load_checkpoint(self.checkpoint_path, self.model)
+        else:
+            logging.warning("No checkpoint given; using randomly initialized params")
+            self.params = init_params
+            return init_params
+        problems = check_params_structure(init_params, params)
+        if problems:
+            logging.warning(
+                "Checkpoint structure mismatches (%d): %s",
+                len(problems),
+                "; ".join(problems[:5]),
+            )
+        self.params = params
+        return params
+
+    def _timed(self, name, fn, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out) if isinstance(out, jax.Array) else None
+        self.timings[name] = time.perf_counter() - t0
+        logging.info("%s: %.3fs", name, self.timings[name])
+        return out
+
+    def run_on_frames(self, video: np.ndarray, fps: float = 30.0) -> dict:
+        """Full pipeline on an in-memory [T H W 3] uint8 video."""
+        t, h, w = video.shape[:3]
+        track_data = self._timed("tracking", self.track_provider, video)
+        tracks_2d = jnp.asarray(track_data["tracks"])
+        visible = jnp.asarray(track_data["visible"])
+
+        dino_grid = None
+        if self.use_dino:
+            dino_grid = jnp.asarray(
+                self._timed("dino_features", self.dino_extractor, video)
+            )
+        depth_maps = None
+        if self.use_depth:
+            depth_maps = jnp.asarray(
+                self._timed("depth", self.depth_provider, video)
+            )
+
+        num_tracks = int(tracks_2d.shape[0])
+        num_support = min(self.num_support_tracks, max(num_tracks - 1, 1))
+        num_queries = min(
+            self.num_query_points, max(num_tracks - num_support, 1)
+        )
+
+        # Params need an example batch for structure checking: build the
+        # batch shapes cheaply from the fused tail's own split on zeros.
+        if self.params is None:
+            key = jax.random.PRNGKey(self.seed)
+            example_batch = split_and_sample_queries(
+                key,
+                jnp.zeros((num_tracks, t, 3)),
+                visible,
+                num_support,
+                num_queries,
+                t,
+                dino_features=jnp.zeros((num_tracks, t, 768))
+                if self.use_dino
+                else None,
+                depth_features=jnp.zeros((num_tracks, t, 256))
+                if self.use_depth
+                else None,
+            )
+            self.load_params(example_batch)
+
+        t0 = time.perf_counter()
+        predictions, batch, tracks_3d = fused_tail(
+            self.params,
+            tracks_2d,
+            visible,
+            dino_grid,
+            depth_maps,
+            jax.random.PRNGKey(self.seed),
+            self.model,
+            num_support,
+            num_queries,
+            (h, w),
+            self.use_dino,
+            self.use_depth,
+        )
+        jax.block_until_ready(predictions.tracks)
+        self.timings["fused_tail"] = time.perf_counter() - t0
+        logging.info("fused_tail (lift+sample+split+model): %.3fs",
+                     self.timings["fused_tail"])
+
+        return {
+            "predictions": predictions,
+            "video": video,
+            "tracks_3d": np.asarray(tracks_3d),
+            "support_tracks": np.asarray(batch["support_tracks"][0]),
+            "query_tracks": np.asarray(batch["query_tracks"][0]),
+            "depth": np.asarray(depth_maps) if depth_maps is not None else None,
+            "fps": fps,
+            "timings": dict(self.timings),
+        }
+
+    def run(self, video_path: str) -> dict:
+        video, fps = load_video(video_path, max_frames=self.num_output_frames)
+        logging.info(
+            "Loaded video: %d frames, %dx%d, %.2f fps",
+            video.shape[0], video.shape[1], video.shape[2], fps,
+        )
+        return self.run_on_frames(video, fps)
+
+
+def run_inference(video_path: str, checkpoint_path: str, **kwargs) -> dict:
+    """Reference-compatible entry (inference.py:511)."""
+    pipeline = InferencePipeline(checkpoint_path=checkpoint_path, **kwargs)
+    return pipeline.run(video_path)
+
+
+def save_results(results: dict, output_dir: str) -> None:
+    """predictions.npz + video_info.txt (reference inference.py:638-660)."""
+    os.makedirs(output_dir, exist_ok=True)
+    pred_tracks = np.asarray(results["predictions"].tracks[0])
+    pred_visible = np.asarray(results["predictions"].visible_logits[0])
+    np.savez(
+        os.path.join(output_dir, "predictions.npz"),
+        tracks_3d=pred_tracks,
+        visible_logits=pred_visible,
+        query_tracks=results["query_tracks"],
+        support_tracks=results["support_tracks"],
+    )
+    with open(os.path.join(output_dir, "video_info.txt"), "w") as f:
+        f.write(f"FPS: {results['fps']}\n")
+        f.write(f"Frames: {pred_tracks.shape[1]}\n")
+        f.write(f"Query points: {pred_tracks.shape[0]}\n")
+    logging.info("Results saved to %s", output_dir)

@@ -1,0 +1,190 @@
+"""Pyramidal Lucas-Kanade point tracking in pure JAX.
+
+A TPU-resident 2D point tracker used as the self-contained fallback for the
+CoTracker3 front-end (the reference hard-depends on a torch/CUDA package for
+tracking, inference.py:97-154; this keeps the end-to-end pipeline runnable on
+a TPU-only host). Classic coarse-to-fine LK with iterative refinement and
+forward-backward visibility checking:
+
+* grayscale pyramid (2x2 average pooling per level);
+* per level, Gauss-Newton on the brightness-constancy residual over a
+  window around each point (all points solved in parallel — the normal
+  matrix is 2x2, inverted in closed form);
+* frame-to-frame chaining via ``lax.scan``;
+* visibility = forward-backward error < threshold AND in-bounds AND a
+  well-conditioned normal matrix.
+
+Everything is static-shape and fully batched over points: windows gather via
+vectorized bilinear interpolation, so the tracker compiles to dense
+gather+FMA XLA ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_gray(video):  # [T H W 3] -> [T H W] float32 in [0,1]
+    v = jnp.asarray(video, jnp.float32) / 255.0
+    return v[..., 0] * 0.299 + v[..., 1] * 0.587 + v[..., 2] * 0.114
+
+
+def _downsample2(img):  # [T H W] -> [T H/2 W/2], 2x2 mean
+    t, h, w = img.shape
+    return img[:, : h // 2 * 2, : w // 2 * 2].reshape(
+        t, h // 2, 2, w // 2, 2
+    ).mean(axis=(2, 4))
+
+
+def _bilinear(img, coords):
+    """img [H W], coords [... 2] (x, y) -> values [...], edge-clamped."""
+    h, w = img.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    return (
+        img[y0, x0] * (1 - wx) * (1 - wy)
+        + img[y0, x1] * wx * (1 - wy)
+        + img[y1, x0] * (1 - wx) * wy
+        + img[y1, x1] * wx * wy
+    )
+
+
+def _window_offsets(window: int):
+    r = (window - 1) / 2.0
+    ax = jnp.arange(window) - r
+    ox, oy = jnp.meshgrid(ax, ax)
+    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1)  # [K 2]
+
+
+def _lk_level(i0, i1, pts, disp, window: int, iterations: int):
+    """One pyramid level of Gauss-Newton LK.
+
+    i0/i1: [H W] template/target; pts: [N 2] template positions at this
+    level's scale; disp: [N 2] current displacement estimate (this scale).
+    Returns (disp, min_eig) — min_eig of the normal matrix for conditioning.
+    """
+    offs = _window_offsets(window)  # [K 2]
+    coords0 = pts[:, None, :] + offs[None]  # [N K 2]
+
+    # Template patch + gradients (central differences via shifted samples).
+    t_patch = _bilinear(i0, coords0)
+    half = jnp.asarray([0.5, 0.0])
+    ix = _bilinear(i0, coords0 + half) - _bilinear(i0, coords0 - half)
+    iy = _bilinear(i0, coords0 + half[::-1]) - _bilinear(i0, coords0 - half[::-1])
+
+    gxx = jnp.sum(ix * ix, axis=-1)
+    gxy = jnp.sum(ix * iy, axis=-1)
+    gyy = jnp.sum(iy * iy, axis=-1)
+    det = gxx * gyy - gxy * gxy
+    trace = gxx + gyy
+    min_eig = (trace - jnp.sqrt(jnp.maximum(trace**2 - 4 * det, 0.0))) / 2.0
+    inv_det = jnp.where(jnp.abs(det) > 1e-8, 1.0 / det, 0.0)
+
+    def body(_, disp):
+        patch1 = _bilinear(i1, coords0 + disp[:, None, :])
+        resid = patch1 - t_patch
+        bx = jnp.sum(resid * ix, axis=-1)
+        by = jnp.sum(resid * iy, axis=-1)
+        dx = inv_det * (gyy * bx - gxy * by)
+        dy = inv_det * (-gxy * bx + gxx * by)
+        return disp - jnp.stack([dx, dy], axis=-1)
+
+    disp = jax.lax.fori_loop(0, iterations, body, disp)
+    return disp, min_eig
+
+
+def _track_pair(pyr0, pyr1, pts, window: int, iterations: int):
+    """Track pts [N 2] from frame pyramid pyr0 to pyr1 (lists, fine->coarse).
+
+    Returns (new_pts, min_eig at the finest level).
+    """
+    num_levels = len(pyr0)
+    disp = jnp.zeros_like(pts)
+    min_eig = jnp.zeros(pts.shape[0])
+    for lvl in reversed(range(num_levels)):
+        scale = 2.0**lvl
+        disp, min_eig = _lk_level(
+            pyr0[lvl], pyr1[lvl], pts / scale, disp, window, iterations
+        )
+        if lvl > 0:
+            disp = disp * 2.0  # upsample displacement to the next-finer level
+    return pts + disp, min_eig
+
+
+def build_pyramid(gray, num_levels: int):
+    pyr = [gray]
+    for _ in range(num_levels - 1):
+        pyr.append(_downsample2(pyr[-1]))
+    return pyr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_levels", "window", "iterations", "fb_threshold")
+)
+def _track_all(gray, queries, num_levels, window, iterations, fb_threshold):
+    t, h, w = gray.shape
+    pyramids = build_pyramid(gray, num_levels)  # list of [T h w]
+
+    def step(pts, idx):
+        p0 = [lvl[idx] for lvl in pyramids]
+        p1 = [lvl[idx + 1] for lvl in pyramids]
+        new_pts, min_eig = _track_pair(p0, p1, pts, window, iterations)
+        back_pts, _ = _track_pair(p1, p0, new_pts, window, iterations)
+        fb_err = jnp.linalg.norm(back_pts - pts, axis=-1)
+        in_bounds = (
+            (new_pts[:, 0] >= 0)
+            & (new_pts[:, 0] <= w - 1)
+            & (new_pts[:, 1] >= 0)
+            & (new_pts[:, 1] <= h - 1)
+        )
+        visible = (fb_err < fb_threshold) & in_bounds & (min_eig > 1e-6)
+        clamped = jnp.stack(
+            [jnp.clip(new_pts[:, 0], 0, w - 1), jnp.clip(new_pts[:, 1], 0, h - 1)],
+            axis=-1,
+        )
+        return clamped, (clamped, visible)
+
+    init = queries
+    _, (traj, vis) = jax.lax.scan(step, init, jnp.arange(t - 1))
+    # Prepend frame 0 (queries, all visible).
+    tracks = jnp.concatenate([queries[None], traj], axis=0)  # [T N 2]
+    visible = jnp.concatenate(
+        [jnp.ones((1, queries.shape[0]), bool), vis], axis=0
+    )
+    return jnp.transpose(tracks, (1, 0, 2)), jnp.transpose(visible, (1, 0))
+
+
+def track_video_lk(
+    video,
+    queries,  # [N 2] (x, y) positions at frame 0
+    num_levels: int = 3,
+    window: int = 7,
+    iterations: int = 4,
+    fb_threshold: float = 2.0,
+):
+    """Track query points through a video.
+
+    Returns (tracks [N T 2] float32, visible [N T 1] float32).
+    """
+    gray = _to_gray(jnp.asarray(video))
+    tracks, visible = _track_all(
+        gray,
+        jnp.asarray(queries, jnp.float32),
+        num_levels,
+        window,
+        iterations,
+        float(fb_threshold),
+    )
+    return tracks, visible[..., None].astype(jnp.float32)

@@ -1,0 +1,85 @@
+"""End-to-end inference pipeline on synthetic video with fake front-ends."""
+
+import numpy as np
+import jax
+import pytest
+
+from tdspa.features.depth import ConstantDepthProvider
+from tdspa.features.tracks import StaticGridProvider, make_query_grid
+from tdspa.infer.pipeline import InferencePipeline, save_results
+from tdspa.utils.testing import tiny_model_3d
+
+T = 10
+
+
+def _video(t=T, h=32, w=40):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
+
+
+def test_make_query_grid_reference_layout():
+    grid = make_query_grid(height=8, width=16, grid_size=2)
+    # Row-major over (i=y, j=x): [(0.5*8, 0.5*4), (1.5*8, 0.5*4), ...]
+    np.testing.assert_allclose(
+        grid, [[4.0, 2.0], [12.0, 2.0], [4.0, 6.0], [12.0, 6.0]]
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = tiny_model_3d(T, use_dino=False, use_depth=True)
+    return InferencePipeline(
+        num_output_frames=T,
+        use_dino=False,
+        use_depth=True,
+        num_query_points=6,
+        num_support_tracks=10,
+        track_provider=StaticGridProvider(grid_size=4),  # 16 tracks
+        depth_provider=ConstantDepthProvider(),
+        model=model,
+    )
+
+
+def test_pipeline_end_to_end(pipeline, tmp_path_factory):
+    video = _video()
+    results = pipeline.run_on_frames(video)
+    preds = results["predictions"]
+    assert preds.tracks.shape == (1, 6, T, 3)
+    assert preds.visible_logits.shape == (1, 6, T, 1)
+    assert np.isfinite(np.asarray(preds.tracks)).all()
+    assert results["tracks_3d"].shape == (16, T, 3)
+    # Unit depth + static tracks: z == 1 everywhere.
+    np.testing.assert_allclose(results["tracks_3d"][..., 2], 1.0, atol=1e-6)
+    assert set(results["timings"]) >= {"tracking", "depth", "fused_tail"}
+
+    out_dir = tmp_path_factory.mktemp("out")
+    save_results(results, str(out_dir))
+    data = np.load(out_dir / "predictions.npz")
+    assert set(data.files) == {
+        "tracks_3d", "visible_logits", "query_tracks", "support_tracks",
+    }
+    assert data["tracks_3d"].shape == (6, T, 3)
+    info = (out_dir / "video_info.txt").read_text()
+    assert "FPS:" in info and "Query points: 6" in info
+
+
+def test_pipeline_deterministic_split(pipeline):
+    video = _video()
+    r1 = pipeline.run_on_frames(video)
+    r2 = pipeline.run_on_frames(video)
+    np.testing.assert_array_equal(
+        np.asarray(r1["predictions"].tracks), np.asarray(r2["predictions"].tracks)
+    )
+
+
+def test_pipeline_lift_matches_host_op(pipeline):
+    """Fused-tail lifting equals the standalone geometry op."""
+    from tdspa.ops.geometry import lift_2d_to_3d
+    import jax.numpy as jnp
+
+    video = _video()
+    results = pipeline.run_on_frames(video)
+    tracks_2d = StaticGridProvider(grid_size=4)(video)["tracks"]
+    depth = ConstantDepthProvider()(video)
+    expected = np.asarray(lift_2d_to_3d(jnp.asarray(tracks_2d), jnp.asarray(depth)))
+    np.testing.assert_allclose(results["tracks_3d"], expected, atol=1e-5)

@@ -1,0 +1,64 @@
+"""Pyramidal-LK tracker: recovers known synthetic motion."""
+
+import numpy as np
+
+from tdspa.ops.lk import track_video_lk
+
+
+def _textured_frame(h, w, shift_x=0.0, shift_y=0.0, rng_grid=None):
+    """Smooth random texture sampled with a subpixel shift."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.zeros((h, w))
+    for (fx, fy, ph) in rng_grid:
+        img += np.sin(2 * np.pi * (fx * (xx - shift_x) / w + fy * (yy - shift_y) / h) + ph)
+    img = (img - img.min()) / (np.ptp(img) + 1e-9)
+    return np.repeat((img * 255).astype(np.uint8)[..., None], 3, axis=-1)
+
+
+def _make_video(t, h, w, vx, vy, seed=0):
+    rng = np.random.default_rng(seed)
+    waves = [(rng.uniform(2, 9), rng.uniform(2, 9), rng.uniform(0, 6)) for _ in range(12)]
+    return np.stack(
+        [_textured_frame(h, w, shift_x=vx * i, shift_y=vy * i, rng_grid=waves)
+         for i in range(t)]
+    )
+
+
+def test_tracks_global_translation():
+    T, H, W = 6, 64, 64
+    vx, vy = 1.5, -0.8
+    video = _make_video(T, H, W, vx, vy)
+    queries = np.array(
+        [[20.0, 30.0], [32.0, 32.0], [40.0, 20.0], [25.0, 40.0]], np.float32
+    )
+    tracks, visible = track_video_lk(video, queries, num_levels=2, window=9,
+                                     iterations=8)
+    tracks = np.asarray(tracks)
+    assert tracks.shape == (4, T, 2)
+    for n in range(4):
+        for t in range(T):
+            expected = queries[n] + [vx * t, vy * t]
+            np.testing.assert_allclose(tracks[n, t], expected, atol=0.5)
+    assert np.asarray(visible).mean() > 0.9
+
+
+def test_static_video_stays_put():
+    video = _make_video(4, 48, 48, 0.0, 0.0)
+    queries = np.array([[24.0, 24.0], [10.0, 35.0]], np.float32)
+    tracks, visible = track_video_lk(video, queries)
+    np.testing.assert_allclose(
+        np.asarray(tracks),
+        np.broadcast_to(queries[:, None], (2, 4, 2)),
+        atol=0.1,
+    )
+    assert np.asarray(visible).all()
+
+
+def test_point_leaving_frame_marked_invisible():
+    T, H, W = 8, 48, 48
+    video = _make_video(T, H, W, 8.0, 0.0)  # fast rightward motion
+    queries = np.array([[44.0, 24.0]], np.float32)  # near the right edge
+    tracks, visible = track_video_lk(video, queries, num_levels=2, window=9,
+                                     iterations=8)
+    vis = np.asarray(visible)[0, :, 0]
+    assert vis[-1] == 0.0  # drifted out of frame by the end

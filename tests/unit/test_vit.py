@@ -1,0 +1,92 @@
+"""Flax DINOv2 vs the HF torch implementation: exact numerical parity.
+
+A tiny random-initialized ``transformers.Dinov2Model`` (no download needed)
+is the oracle: its state_dict converts through ``convert_hf_dinov2_params``
+and both models must produce the same tokens.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tdspa.features.vit import (  # noqa: E402
+    Dinov2Flax,
+    ViTConfig,
+    convert_hf_dinov2_params,
+    interpolate_pos_embed,
+)
+
+
+def _tiny_pair(image_size=28, patch=14, hidden=32, layers=2, heads=2):
+    hf_config = transformers.Dinov2Config(
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=hidden * 4,
+        patch_size=patch,
+        image_size=image_size,
+        layerscale_value=1.0,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.Dinov2Model(hf_config).eval()
+    config = ViTConfig(
+        hidden_size=hidden,
+        num_layers=layers,
+        num_heads=heads,
+        patch_size=patch,
+        image_size=image_size,
+    )
+    params = convert_hf_dinov2_params(hf_model.state_dict(), config)
+    return hf_model, Dinov2Flax(config=config), params
+
+
+def test_matches_hf_at_native_resolution():
+    hf_model, flax_model, params = _tiny_pair()
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        expected = hf_model(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+
+    got = np.asarray(flax_model.apply({"params": params}, jnp.asarray(img)))
+    assert got.shape == expected.shape  # [2, 1+4, 32]
+    np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+def test_matches_hf_at_interpolated_resolution():
+    # 56x42 input -> 4x3 patch grid; pos embeddings interpolated from 2x2.
+    hf_model, flax_model, params = _tiny_pair()
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(1, 56, 42, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model(
+            torch.from_numpy(img.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+    got = np.asarray(flax_model.apply({"params": params}, jnp.asarray(img)))
+    assert got.shape == expected.shape
+    # Bicubic kernels differ (a=-0.5 vs a=-0.75): tolerance is looser.
+    np.testing.assert_allclose(got, expected, atol=0.05)
+    corr = np.corrcoef(got.ravel(), expected.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_patch_grid_shape():
+    _, flax_model, params = _tiny_pair()
+    img = jnp.zeros((3, 56, 28, 3))
+    grid = flax_model.apply({"params": params}, img, method=flax_model.patch_grid)
+    assert grid.shape == (3, 4, 2, 32)
+
+
+def test_interpolate_pos_embed_identity():
+    pe = jnp.arange(1 * 5 * 8, dtype=jnp.float32).reshape(1, 5, 8)  # 2x2 grid
+    out = interpolate_pos_embed(pe, 2, 2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
+    out2 = interpolate_pos_embed(pe, 3, 3)
+    assert out2.shape == (1, 10, 8)
