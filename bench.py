@@ -40,20 +40,28 @@ def main():
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(42), batch)
 
+    iters = 10
+
     @jax.jit
-    def forward(params, batch):
-        return model.apply({"params": params}, batch)
+    def forward_loop(params, batch):
+        # The timing loop runs ON DEVICE (lax.scan with a data dependency
+        # between iterations): one dispatch, so host/tunnel round-trip
+        # overhead amortizes away and iterations can't be cached or elided.
+        def body(carry, _):
+            b = dict(batch)
+            b["query_points"] = batch["query_points"] + carry
+            out = model.apply({"params": params}, b)
+            return out.tracks[0, 0, 0, 0] * 1e-30, out.tracks[0, 0, 0, 0]
+        carry, probes = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=iters
+        )
+        return probes
 
     params = variables["params"]
-    # Warmup / compile.
-    out = forward(params, batch)
-    jax.block_until_ready(out.tracks)
+    jax.block_until_ready(forward_loop(params, batch))  # warmup / compile
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, batch)
-    jax.block_until_ready(out.tracks)
+    jax.block_until_ready(forward_loop(params, batch))
     dt = (time.perf_counter() - t0) / iters
 
     decodes_per_sec = N_QUERY / dt

@@ -182,7 +182,9 @@ class TrackAutoEncoder3D(nn.Module):
             batch_shape=(inputs["support_tracks"].shape[0],)
         )
         latents = self.tracks_to_latents(latents, support_track_tokens)
-        return self.compressor(latents)
+        # Public boundary: latents stay f32 regardless of compute dtype (the
+        # 1/128 quantization grid needs full mantissa).
+        return self.compressor(latents).astype(jnp.float32)
 
     # ------------------------------------------------------------------ #
     # Decoder
@@ -241,7 +243,7 @@ class TrackAutoEncoder3D(nn.Module):
             [query_tokens[..., jnp.newaxis, :], latents], axis=-2
         )
         out = self.track_readout_attn(tokens)[..., 0, :]
-        out = self.track_predictor(out)
+        out = self.track_predictor(out).astype(jnp.float32)
 
         num_frames = self.num_output_frames
         tracks = jnp.stack(
