@@ -51,17 +51,26 @@ def main():
             b = dict(batch)
             b["query_points"] = batch["query_points"] + carry
             out = model.apply({"params": params}, b)
-            return out.tracks[0, 0, 0, 0] * 1e-30, out.tracks[0, 0, 0, 0]
+            # Consume EVERY output element so no query/head can be DCE'd.
+            probe = jnp.mean(out.tracks) + jnp.mean(out.visible_logits)
+            return probe * 1e-30, probe
         carry, probes = jax.lax.scan(
             body, jnp.zeros((), jnp.float32), None, length=iters
         )
         return probes
 
     params = variables["params"]
-    jax.block_until_ready(forward_loop(params, batch))  # warmup / compile
+    # Warmup / compile. Synchronization: fetch a concrete host value —
+    # block_until_ready can return at enqueue on remote-tunnel platforms.
+    float(jnp.sum(forward_loop(params, batch)))
 
+    # The timed call gets perturbed inputs: identical (program, inputs)
+    # dispatches can be served from an execution cache by remote runtimes,
+    # which would time as ~0.
+    batch_timed = dict(batch)
+    batch_timed["support_tracks"] = batch["support_tracks"] + 1e-3
     t0 = time.perf_counter()
-    jax.block_until_ready(forward_loop(params, batch))
+    float(jnp.sum(forward_loop(params, batch_timed)))
     dt = (time.perf_counter() - t0) / iters
 
     decodes_per_sec = N_QUERY / dt
