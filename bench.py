@@ -12,9 +12,15 @@ Prints ONE JSON line:
 ``vs_baseline`` is value / 102.4: the north-star target rate implied by
 BASELINE.json (512 queries in < 5 s end-to-end) — >1.0 means the model
 forward alone beats the whole-pipeline target budget.
+
+Set ``BENCH_MODE=e2e`` for the full-pipeline measurement instead: a
+150-frame 512x512 video through LK tracking (64x64 grid), batched DINOv2
+features, depth, and the fused lift+sample+split+model tail; reports
+seconds/video with vs_baseline = 5.0 / seconds (>1.0 beats the north star).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -26,7 +32,10 @@ def main():
     from tdspa.utils.testing import synthetic_batch
 
     T, N_SUPPORT, N_QUERY = 150, 2048, 512
-    model = TrackAutoEncoder3D(num_output_frames=T, dtype=jnp.bfloat16)
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    model = TrackAutoEncoder3D(
+        num_output_frames=T, dtype=jnp.bfloat16, fused_attention=fused
+    )
     batch = synthetic_batch(
         jax.random.PRNGKey(0),
         batch=1,
@@ -87,5 +96,51 @@ def main():
     )
 
 
+def main_e2e():
+    import numpy as np
+
+    from tdspa.features.depth import VideoDepthEstimator
+    from tdspa.features.tracks import PyramidalLKTracker
+    from tdspa.infer.pipeline import InferencePipeline
+
+    T, H, W = 150, 512, 512
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8)
+
+    pipeline = InferencePipeline(
+        num_output_frames=T,
+        use_dino=True,
+        use_depth=True,
+        num_query_points=512,
+        num_support_tracks=2048,
+        tracking_grid_size=64,
+        track_provider=PyramidalLKTracker(grid_size=64),
+        depth_provider=VideoDepthEstimator(encoder="vitb"),
+    )
+    pipeline.run_on_frames(video)  # warmup: weights + compiles
+    t0 = time.perf_counter()
+    results = pipeline.run_on_frames(video[::-1].copy())  # distinct input
+    # Force completion with a host value fetch.
+    float(np.asarray(results["predictions"].tracks).sum())
+    dt = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_seconds_per_video_150f_512q_2048s",
+                "value": round(dt, 3),
+                "unit": "s/video",
+                "vs_baseline": round(5.0 / dt, 3),
+                "stage_timings_s": {
+                    k: round(v, 3) for k, v in results["timings"].items()
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "e2e":
+        main_e2e()
+    else:
+        main()

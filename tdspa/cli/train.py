@@ -47,6 +47,9 @@ flags.DEFINE_integer("log_freq", 10, "Metric logging frequency in steps")
 
 def main(argv):
     del argv
+    from tdspa.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # multi-host (DCN) when launched as such
     dataset_path = FLAGS.dataset_path or FLAGS.config_path or "./data"
 
     loader_kwargs = dict(

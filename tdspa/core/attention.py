@@ -29,7 +29,45 @@ from __future__ import annotations
 from typing import Any, Optional
 
 from flax import linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _fused_attention_applicable(q, k, mask) -> bool:
+    """Fused Pallas path: TPU backend, key-only mask, VMEM-sized tiles."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if mask is not None and (mask.shape[-2] != 1 or mask.shape[-3] != 1):
+        return False  # not a pure key (query-broadcast) mask
+    if q.shape[:-3] != k.shape[:-3]:
+        return False
+    from tdspa.kernels.attention import fused_attention_fits
+
+    batch = 1
+    for d in q.shape[:-3]:
+        batch *= d
+    return fused_attention_fits(
+        batch, q.shape[-3], k.shape[-3], q.shape[-2], q.shape[-1]
+    )
+
+
+def _fused_attention(q, k, v, mask):
+    """Flatten leading batch dims and dispatch the Pallas fused kernel."""
+    from tdspa.kernels.attention import fused_attention
+
+    lead = q.shape[:-3]
+    s, h, d = q.shape[-3:]
+    kv = k.shape[-3]
+    qf = q.reshape((-1, s, h, d))
+    kf = k.reshape((-1, kv, h, d))
+    vf = v.reshape((-1, kv, h, d))
+    key_mask = None
+    if mask is not None:
+        key_mask = jnp.broadcast_to(
+            mask[..., 0, 0, :], lead + (kv,)
+        ).reshape((-1, kv)).astype(jnp.float32)
+    out = fused_attention(qf, kf, vf, key_mask)
+    return out.reshape(lead + (s, h, d))
 
 
 def masked_dot_product_attention(
@@ -82,6 +120,7 @@ class QKNormAttention(nn.Module):
     qk_size: int
     v_size: Optional[int] = None
     dtype: Any = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -123,9 +162,12 @@ class QKNormAttention(nn.Module):
             name="dense_value",
         )(inputs_kv)
 
-        x = masked_dot_product_attention(
-            query, key, value, mask=mask, compute_dtype=self.dtype
-        )
+        if self.use_fused and _fused_attention_applicable(query, key, mask):
+            x = _fused_attention(query, key, value, mask)
+        else:
+            x = masked_dot_product_attention(
+                query, key, value, mask=mask, compute_dtype=self.dtype
+            )
 
         out = nn.DenseGeneral(
             features=inputs_q.shape[-1],
@@ -144,6 +186,7 @@ class ParallelTransformerBlock(nn.Module):
     num_heads: int
     qkv_size: int
     dtype: Any = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -163,6 +206,7 @@ class ParallelTransformerBlock(nn.Module):
             num_heads=self.num_heads,
             qk_size=self.qkv_size,
             dtype=self.dtype,
+            use_fused=self.use_fused,
             name="self_att",
         )(inputs_q=normed_queries, inputs_kv=normed_queries, mask=qq_mask)
 
@@ -171,6 +215,7 @@ class ParallelTransformerBlock(nn.Module):
                 num_heads=self.num_heads,
                 qk_size=self.qkv_size,
                 dtype=self.dtype,
+                use_fused=self.use_fused,
                 name="cross_att",
             )(inputs_q=normed_queries, inputs_kv=inputs_kv, mask=qk_mask)
 
@@ -198,6 +243,7 @@ class TransformerStack(nn.Module):
     mlp_size: int
     num_layers: int
     dtype: Any = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -222,6 +268,7 @@ class TransformerStack(nn.Module):
                 num_heads=self.num_heads,
                 mlp_size=self.mlp_size,
                 dtype=self.dtype,
+                use_fused=self.use_fused,
                 name=f"layer_{i}",
             )(queries, inputs_kv=inputs_kv, qq_mask=qq_mask, qk_mask=qk_mask)
 

@@ -33,18 +33,23 @@ def visibility_key_mask(visible):  # float['*B N T 1'] -> bool['*B N T T']
 
 
 def track_temporal_mask(visible, boundary_frame):
-    """[*B N T T] self-attention mask over each track's frame tokens.
+    """[*B N 1 T] key mask over each track's frame tokens.
 
     Key k attendable iff visible[k] and k < boundary_frame (2D encoder
-    semantics, reference track_autoencoder.py:217-229).
+    semantics, reference track_autoencoder.py:217-229). All query rows are
+    identical, so the mask is materialized with a broadcast query axis of 1
+    — semantics match the reference's full [T, T] product while avoiding an
+    O(N*T^2) mask tensor in HBM.
     """
+    vis = visible[..., 0].astype(bool)  # [*B N T]
     num_frames = visible.shape[-2]
-    partition = frame_partition_mask(num_frames, boundary_frame)
-    return partition * visibility_key_mask(visible)
+    time = jnp.arange(num_frames)
+    in_bounds = time < boundary_frame[..., jnp.newaxis, jnp.newaxis]  # [*B 1 T]
+    return (vis & in_bounds)[..., jnp.newaxis, :]  # [*B N 1 T]
 
 
 def readout_temporal_mask(visible, boundary_frame):
-    """[*B N T+1 T+1] mask for [readout | frame tokens] self-attention.
+    """[*B N 1 T+1] key mask for [readout | frame tokens] self-attention.
 
     Key 0 (the readout token) is always attendable; key k+1 is attendable iff
     visible[k] and k < boundary_frame. All query rows are identical — the
@@ -58,6 +63,4 @@ def readout_temporal_mask(visible, boundary_frame):
     key_ok = vis & in_bounds  # [*B N T]
     readout_col = jnp.ones_like(key_ok[..., :1])
     keys = jnp.concatenate([readout_col, key_ok], axis=-1)  # [*B N T+1]
-    return jnp.broadcast_to(
-        keys[..., jnp.newaxis, :], keys.shape[:-1] + (num_frames + 1, num_frames + 1)
-    )
+    return keys[..., jnp.newaxis, :]  # [*B N 1 T+1]

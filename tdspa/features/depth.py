@@ -15,10 +15,11 @@ a provider interface with a native implementation:
 * ``ConstantDepthProvider`` — unit depth (the reference's no-depth fallback
   lifts with z=1, inference.py:545-546).
 
-Weight conversion from the released ``video_depth_anything_*.pth`` is mapped
-by name in ``convert_vda_state_dict``; numerical validation against the torch
-reference requires the checkpoint (not available in this environment) and is
-tracked as a follow-up.
+Weight conversion from the released ``video_depth_anything_*.pth`` requires
+the checkpoint and the torch reference for name-mapping validation (neither
+is available in this environment); until then the Flax estimator runs with
+converted DINOv2 encoder weights (when cached) or random init, and the
+``TorchVDAProvider`` adapter carries the trained-weights path.
 """
 
 from __future__ import annotations

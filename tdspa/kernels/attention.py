@@ -1,0 +1,198 @@
+"""Pallas TPU kernel: fused masked multi-head attention (VMEM-resident).
+
+The model's attention workloads are many *short* sequences (151 frame tokens
+per track, 129 tokens per decode query, 128 latents) batched over a large
+set axis (N tracks / Q queries). XLA materializes the [batch, H, S, S]
+logits and softmax in HBM between the two matmuls — at N=2048, T+1=151 that
+is ~1.5 GB of f32 traffic per layer each way. This kernel keeps one batch
+tile's q/k/v, logits, softmax, and output entirely in VMEM: per grid step it
+runs QK^T on the MXU, key-masking + a numerically-stable softmax on the VPU,
+and PV on the MXU, writing only the [tile, S, H, D] output to HBM.
+
+Scope: forward-only (inference / the no-grad eval path), self- or
+cross-attention with an optional KEY mask [B, 1, K-broadcastable] — the only
+mask form the models use (all query rows identical; see tdspa/core/masks.py).
+Fully-masked rows degrade to the uniform average of values, matching the
+XLA path and the reference's flax semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale):
+    """One batch tile: q [TB,S,H,D], k/v [TB,K,H,D], mask [TB,1,K] -> out.
+
+    Mosaic's matmul supports one batch dimension, so the tile loops over its
+    items with ``fori_loop`` and each item's attention batches over heads.
+    """
+    tile = q_ref.shape[0]
+
+    def item(i, _):
+        # Head-major layout: Mosaic's batched matmul requires the batch
+        # (head) dim at position 0.
+        q = jnp.transpose(q_ref[i].astype(jnp.bfloat16), (1, 0, 2))  # [H,S,D]
+        k = jnp.transpose(k_ref[i].astype(jnp.bfloat16), (1, 0, 2))  # [H,K,D]
+        v = jnp.transpose(v_ref[i].astype(jnp.bfloat16), (1, 0, 2))
+
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [H, S, K]
+        logits = logits * scale
+
+        if mask_ref is not None:
+            mask = mask_ref[i]  # [1, K]
+            big_neg = jnp.finfo(jnp.float32).min
+            logits = jnp.where(
+                (mask != 0)[jnp.newaxis, :, :], logits, big_neg
+            )
+
+        logits_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnorm = jnp.exp(logits - logits_max)
+        denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+        probs = (unnorm / denom).astype(jnp.bfloat16)  # [H, S, K]
+
+        out = jax.lax.dot_general(
+            probs, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [H, S, D]
+        out_ref[i] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, tile, item, 0)
+
+
+def _pick_tile(batch: int, budget_elems: int, per_item: int) -> int:
+    tile = max(1, budget_elems // max(per_item, 1))
+    while batch % tile:
+        tile -= 1
+    return tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_masked_attention(q, k, v, key_mask=None, interpret: bool = False):
+    """Fused attention: q [B,S,H,D], k/v [B,K,H,D], key_mask [B,K] -> [B,S,H,D].
+
+    Equivalent to ``masked_dot_product_attention`` with a key-only mask
+    (scaling by 1/sqrt(D) applied inside). bf16 matmuls, f32 softmax.
+    """
+    batch, s, heads, depth = q.shape
+    kv_len = k.shape[1]
+    scale = 1.0 / (depth ** 0.5)
+
+    # Stage operands as bf16 (the kernel computes in bf16 anyway): halves
+    # VMEM block size and HBM traffic.
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+
+    # VMEM accounting per batch item (f32-element units): logits + exp temp
+    # (f32), double-buffered bf16 operand blocks, f32 output block.
+    per_item = (
+        2 * heads * s * kv_len
+        + (s + 2 * kv_len) * heads * depth  # bf16 in, double-buffered ~ x1
+        + 2 * s * heads * depth  # f32 out
+    )
+    tile = min(_pick_tile(batch, 2_500_000, per_item), 8)
+    while batch % tile:
+        tile -= 1
+
+    kernel = functools.partial(_mha_kernel, scale=scale)
+    operands = [q, k, v]
+    in_specs = [
+        pl.BlockSpec((tile, s, heads, depth), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, kv_len, heads, depth), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, kv_len, heads, depth), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if key_mask is not None:
+        # 3D [B, 1, K] so the (1, K) trailing block dims match the array
+        # exactly (Mosaic tiling constraint) for any batch tile size.
+        operands.append(key_mask.astype(jnp.float32)[:, jnp.newaxis, :])
+        in_specs.append(
+            pl.BlockSpec((tile, 1, kv_len), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        wrapped = kernel
+    else:
+        def wrapped(q_ref, k_ref, v_ref, out_ref):
+            kernel(q_ref, k_ref, v_ref, None, out_ref)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=(batch // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile, s, heads, depth), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+
+VMEM_ELEM_BUDGET = 3_000_000  # f32 elements per tile (~12 MB)
+
+
+def fused_attention_fits(batch, s, kv_len, heads, depth) -> bool:
+    """True when one batch item's working set fits the VMEM tile budget."""
+    per_item = heads * s * kv_len + 3 * max(s, kv_len) * heads * depth
+    return per_item <= VMEM_ELEM_BUDGET
+
+
+def _xla_reference(q, k, v, key_mask):
+    """The XLA fallback/backward implementation (same math)."""
+    depth = q.shape[-1]
+    qs = q.astype(jnp.bfloat16) / jnp.sqrt(depth).astype(jnp.bfloat16)
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", qs, k.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if key_mask is not None:
+        big_neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(
+            (key_mask != 0)[..., jnp.newaxis, jnp.newaxis, :], logits, big_neg
+        )
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "...hqk,...khd->...qhd", probs.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_attention(q, k, v, key_mask):
+    """Differentiable fused attention: Pallas forward, XLA-recompute backward.
+
+    The backward pass re-runs the XLA reference under ``jax.vjp`` (a
+    remat-style trade: one extra forward instead of storing the probs)."""
+    return fused_masked_attention(q, k, v, key_mask)
+
+
+def _fused_fwd(q, k, v, key_mask):
+    return fused_masked_attention(q, k, v, key_mask), (q, k, v, key_mask)
+
+
+def _fused_bwd(residuals, g):
+    q, k, v, key_mask = residuals
+    if key_mask is None:
+        _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(_xla_reference, q, k, v, key_mask)
+    dq, dk, dv, _ = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(key_mask)
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)

@@ -117,6 +117,9 @@ class TrackAutoEncoder(nn.Module):
     decoder_num_channels: int = 1024
     decoder_scan_chunk_size: int | None = None
     dtype: Any = jnp.float32
+    # Use the fused Pallas attention kernel on TPU where applicable
+    # (key-only masks, VMEM-sized tiles); falls back to XLA elsewhere.
+    fused_attention: bool = False
 
     # Transformer stack shapes. Defaults match the reference exactly
     # (track_autoencoder.py:148-171); exposed as config for scaling studies
@@ -150,22 +153,23 @@ class TrackAutoEncoder(nn.Module):
         self.input_track_transformer = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.input_track_mlp, num_layers=self.input_track_layers,
-            dtype=self.dtype,
+            dtype=self.dtype, use_fused=self.fused_attention,
         )
         self.tracks_to_latents = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.tracks_to_latents_mlp,
             num_layers=self.tracks_to_latents_layers, dtype=self.dtype,
+            use_fused=self.fused_attention,
         )
         self.decompress_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.decompress_mlp, num_layers=self.decompress_layers,
-            dtype=self.dtype,
+            dtype=self.dtype, use_fused=self.fused_attention,
         )
         self.track_readout_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.readout_mlp, num_layers=self.readout_layers,
-            dtype=self.dtype,
+            dtype=self.dtype, use_fused=self.fused_attention,
         )
         self.query_encoder = nn.Dense(self.decoder_num_channels, dtype=self.dtype)
         self.track_predictor = nn.Dense(

@@ -1,8 +1,11 @@
 """Pallas kernels vs their XLA oracles (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from tdspa.core.attention import masked_dot_product_attention
+from tdspa.kernels.attention import _xla_reference, fused_masked_attention
 from tdspa.kernels.bilinear import bilinear_sample_pallas
 from tdspa.ops.geometry import bilinear_sample
 
@@ -20,6 +23,53 @@ def test_bilinear_pallas_matches_xla():
         bilinear_sample_pallas(jnp.asarray(grid), jnp.asarray(coords), interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def _attn_inputs(B=6, S=9, K=13, H=2, D=8, fully_mask_first=True):
+    q = RNG.normal(size=(B, S, H, D)).astype(np.float32)
+    k = RNG.normal(size=(B, K, H, D)).astype(np.float32)
+    v = RNG.normal(size=(B, K, H, D)).astype(np.float32)
+    mask = (RNG.uniform(size=(B, K)) > 0.3).astype(np.float32)
+    if fully_mask_first:
+        mask[0] = 0.0
+    return map(jnp.asarray, (q, k, v, mask))
+
+
+def test_fused_attention_matches_xla_masked():
+    q, k, v, mask = _attn_inputs()
+    ref = masked_dot_product_attention(
+        q, k, v, mask=mask[:, None, None, :], compute_dtype=jnp.bfloat16
+    )
+    got = fused_masked_attention(q, k, v, key_mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+    assert np.isfinite(np.asarray(got)).all()  # fully-masked row stays finite
+
+
+def test_fused_attention_matches_xla_unmasked():
+    q, k, v, _ = _attn_inputs()
+    ref = masked_dot_product_attention(q, k, v, compute_dtype=jnp.bfloat16)
+    got = fused_masked_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+
+def test_fused_backward_reference_grads():
+    """The custom-VJP backward re-runs _xla_reference; check that its grads
+    match the plain attention implementation's grads."""
+    q, k, v, mask = _attn_inputs(fully_mask_first=False)
+
+    def loss_plain(q, k, v):
+        out = masked_dot_product_attention(
+            q, k, v, mask=mask[:, None, None, :], compute_dtype=jnp.bfloat16
+        )
+        return jnp.sum(out**2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference(q, k, v, mask) ** 2)
+
+    g1 = jax.grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
 
 
 def test_bilinear_pallas_dino_shapes():
