@@ -131,6 +131,10 @@ class InferencePipeline:
             use_dino=use_dino,
             use_depth=use_depth,
             dtype=dtype,
+            # The fused Pallas kernel computes in bf16; only engage it when
+            # bf16 compute was requested (and only on TPU — see the gate in
+            # core/attention.py). An explicit f32 pipeline stays f32.
+            fused_attention=(dtype == jnp.bfloat16),
         )
         self._track_provider = track_provider
         self._dino_extractor = dino_extractor

@@ -81,6 +81,23 @@ def test_eval_step_metric_names():
     assert preds.tracks.shape[-1] == 3
 
 
+def test_train_step_trajan_2d():
+    from tdspa.utils.testing import TINY_2D
+
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(rng, batch=2, num_frames=T, num_coords=2)
+    state, model, tx, sched = create_model_state(
+        rng, batch, model_type="trajan", learning_rate=1e-3, warmup_steps=1,
+        total_steps=100, num_output_frames=T, **TINY_2D,
+    )
+    step = make_train_step(model, tx, sched)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["train/loss"]))
+    assert losses[-1] < losses[0]
+
+
 def test_train_loop_smoke(tmp_path):
     from tdspa.data.providers import BatchedTrackDataset, SyntheticTrackProvider
     from tdspa.data.batch_prep import prepare_3d_batch
