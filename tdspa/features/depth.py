@@ -24,6 +24,7 @@ converted DINOv2 encoder weights (when cached) or random init, and the
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 from absl import logging
@@ -207,8 +208,8 @@ class VideoDepthEstimator:
             taps.append(tokens[:, 1:])  # drop CLS
         return taps
 
-    def __call__(self, video: np.ndarray, input_size: int = 518) -> np.ndarray:
-        """video [T H W 3] uint8 -> depth [T H W 1] float32 (relative)."""
+    def __call__(self, video, input_size: int = 518) -> jnp.ndarray:
+        """video [T H W 3] uint8 -> depth [T H W 1] f32 (device-resident)."""
         if self.params is None:
             logging.warning(
                 "VideoDepthEstimator has no weights; depth will use RANDOM "
@@ -226,32 +227,40 @@ class VideoDepthEstimator:
         x = jnp.asarray(video, jnp.float32) / 255.0
         x = jax.image.resize(x, (t, th, tw, 3), method="bilinear")
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-
-        depths = []
-        for start in range(0, t, self.frame_chunk):
-            chunk = x[start : start + self.frame_chunk]
-            pad = self.frame_chunk - chunk.shape[0]
-            if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                )
-            d = self._forward(self.params, chunk)
-            depths.append(d[: self.frame_chunk - pad] if pad else d)
-        depth = jnp.concatenate(depths, axis=0)
-        depth = jax.image.resize(depth, (t, h, w, 1), method="bilinear")
-        return np.asarray(depth, np.float32)
+        return self._forward(self.params, x, (h, w))
 
     @property
     def _forward(self):
         if not hasattr(self, "_forward_fn"):
             p = self.vit_config.patch_size
+            chunk = self.frame_chunk
 
-            @jax.jit
-            def fwd(params, frames):
-                taps = self._taps(params["backbone"], frames)
-                t, h, w, _ = frames.shape
-                return self.head.apply(
-                    {"params": params["head"]}, taps, (h // p, w // p), (h, w)
+            @functools.partial(jax.jit, static_argnames=("out_hw",))
+            def fwd(params, frames, out_hw):
+                # ONE dispatch: frame chunks via lax.map (bounds activation
+                # memory), depth resized back to the source resolution on
+                # device.
+                t = frames.shape[0]
+                pad = (-t) % chunk
+                if pad:
+                    frames = jnp.concatenate(
+                        [frames,
+                         jnp.zeros((pad,) + frames.shape[1:], frames.dtype)]
+                    )
+                groups = frames.reshape((-1, chunk) + frames.shape[1:])
+
+                def one(g):
+                    taps = self._taps(params["backbone"], g)
+                    _, gh, gw, _ = g.shape
+                    return self.head.apply(
+                        {"params": params["head"]}, taps,
+                        (gh // p, gw // p), (gh, gw),
+                    )
+
+                d = jax.lax.map(one, groups)
+                d = d.reshape((-1,) + d.shape[2:])[:t]
+                return jax.image.resize(
+                    d, (t, out_hw[0], out_hw[1], 1), method="bilinear"
                 )
 
             self._forward_fn = fwd

@@ -69,14 +69,33 @@ class DinoFeatureExtractor:
         self.params = params
 
         @jax.jit
-        def _forward(params, frames):  # [B H W 3] normalized -> [B Hp Wp D]
-            return self.model.apply(
-                {"params": params}, frames, method=self.model.patch_grid
+        def _forward_all(params, frames):
+            """[T H W 3] normalized -> [T Hp Wp D], ONE dispatch.
+
+            Frames process in ``frame_chunk``-sized groups via ``lax.map``
+            (bounds activation memory) inside a single compiled program —
+            no per-chunk host round trips.
+            """
+            t = frames.shape[0]
+            chunk = self.frame_chunk
+            pad = (-t) % chunk
+            if pad:
+                frames = jnp.concatenate(
+                    [frames, jnp.zeros((pad,) + frames.shape[1:], frames.dtype)]
+                )
+            groups = frames.reshape((-1, chunk) + frames.shape[1:])
+            out = jax.lax.map(
+                lambda g: self.model.apply(
+                    {"params": params}, g, method=self.model.patch_grid
+                ),
+                groups,
             )
+            out = out.reshape((-1,) + out.shape[2:])
+            return out[:t]
 
-        self._forward = _forward
+        self._forward = _forward_all
 
-    def preprocess(self, video: np.ndarray) -> jnp.ndarray:
+    def preprocess(self, video) -> jnp.ndarray:
         """Resize to patch multiples + ImageNet-normalize (on device)."""
         p = self.config.patch_size
         t, h, w = video.shape[:3]
@@ -88,21 +107,10 @@ class DinoFeatureExtractor:
         std = jnp.asarray(IMAGENET_STD)
         return (x - mean) / std
 
-    def __call__(self, video: np.ndarray) -> np.ndarray:
+    def __call__(self, video) -> jnp.ndarray:
+        """video [T H W 3] -> [T Hp Wp D] features (device-resident)."""
         frames = self.preprocess(video)
-        t = frames.shape[0]
-        chunks = []
-        for start in range(0, t, self.frame_chunk):
-            chunk = frames[start : start + self.frame_chunk]
-            # Pad the last chunk to the chunk size: one compiled program.
-            pad = self.frame_chunk - chunk.shape[0]
-            if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
-                )
-            out = self._forward(self.params, chunk)
-            chunks.append(out[: self.frame_chunk - pad] if pad else out)
-        return np.asarray(jnp.concatenate(chunks, axis=0), np.float32)
+        return self._forward(self.params, frames)
 
 
 def extract_dino_features(

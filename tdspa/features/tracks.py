@@ -67,7 +67,14 @@ class PrecomputedTrackProvider:
 
 
 class PyramidalLKTracker:
-    """Pure-JAX pyramidal Lucas-Kanade grid tracker (runs on TPU)."""
+    """Pure-JAX pyramidal Lucas-Kanade grid tracker.
+
+    Runs on the host CPU backend by default: the tracker is gather-bound
+    (per-point window reads), which maps poorly onto the TPU's vector memory
+    through XLA (measured ~7 s/frame-pair on v5e vs ~0.35 s on host) — a
+    Pallas patch-slice LK kernel is the planned TPU-resident path. The
+    accelerator stays busy with the neural front-ends either way.
+    """
 
     def __init__(
         self,
@@ -76,30 +83,41 @@ class PyramidalLKTracker:
         window: int = 7,
         iterations: int = 4,
         fb_threshold: float = 2.0,
+        device: str = "cpu",  # 'cpu' | 'default'
     ):
         self.grid_size = grid_size
         self.num_levels = num_levels
         self.window = window
         self.iterations = iterations
         self.fb_threshold = fb_threshold
+        self.device = device
 
     def __call__(self, video: np.ndarray) -> dict:
+        import contextlib
+
+        import jax
+
         from tdspa.ops.lk import track_video_lk
 
         t, h, w = video.shape[:3]
         queries = make_query_grid(h, w, self.grid_size)
-        tracks, visible = track_video_lk(
-            video,
-            queries,
-            num_levels=self.num_levels,
-            window=self.window,
-            iterations=self.iterations,
-            fb_threshold=self.fb_threshold,
+        scope = (
+            jax.default_device(jax.devices("cpu")[0])
+            if self.device == "cpu"
+            else contextlib.nullcontext()
         )
-        return {
-            "tracks": np.asarray(tracks, np.float32),
-            "visible": np.asarray(visible, np.float32),
-        }
+        with scope:
+            tracks, visible = track_video_lk(
+                video,
+                queries,
+                num_levels=self.num_levels,
+                window=self.window,
+                iterations=self.iterations,
+                fb_threshold=self.fb_threshold,
+            )
+            tracks = np.asarray(tracks, np.float32)
+            visible = np.asarray(visible, np.float32)
+        return {"tracks": tracks, "visible": visible}
 
 
 class CoTrackerProvider:

@@ -198,7 +198,10 @@ class InferencePipeline:
     def _timed(self, name, fn, *args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out) if isinstance(out, jax.Array) else None
+        if isinstance(out, jax.Array):
+            # Fetch one element: forces completion even on remote-tunnel
+            # platforms where block_until_ready returns at enqueue.
+            float(out.ravel()[0])
         self.timings[name] = time.perf_counter() - t0
         logging.info("%s: %.3fs", name, self.timings[name])
         return out
@@ -273,7 +276,9 @@ class InferencePipeline:
             "tracks_3d": np.asarray(tracks_3d),
             "support_tracks": np.asarray(batch["support_tracks"][0]),
             "query_tracks": np.asarray(batch["query_tracks"][0]),
-            "depth": np.asarray(depth_maps) if depth_maps is not None else None,
+            # Left device-resident (can be ~100s of MB); np.asarray() if
+            # host access is needed.
+            "depth": depth_maps,
             "fps": fps,
             "timings": dict(self.timings),
         }
