@@ -213,15 +213,19 @@ class InferencePipeline:
         tracks_2d = jnp.asarray(track_data["tracks"])
         visible = jnp.asarray(track_data["visible"])
 
+        # One host->HBM upload of the video, shared by every device stage
+        # (the tracker works from the host copy).
+        video_dev = self._timed("video_upload", jnp.asarray, video)
+
         dino_grid = None
         if self.use_dino:
             dino_grid = jnp.asarray(
-                self._timed("dino_features", self.dino_extractor, video)
+                self._timed("dino_features", self.dino_extractor, video_dev)
             )
         depth_maps = None
         if self.use_depth:
             depth_maps = jnp.asarray(
-                self._timed("depth", self.depth_provider, video)
+                self._timed("depth", self.depth_provider, video_dev)
             )
 
         num_tracks = int(tracks_2d.shape[0])
