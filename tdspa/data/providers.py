@@ -25,7 +25,6 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
-import jax
 import numpy as np
 
 from tdspa.data.batch_prep import prepare_2d_batch, prepare_3d_batch

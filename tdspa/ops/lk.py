@@ -25,7 +25,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _to_gray(video):  # [T H W 3] -> [T H W] float32 in [0,1]

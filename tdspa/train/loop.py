@@ -12,7 +12,6 @@ import jax
 
 from tdspa.data.prefetch import device_prefetch
 from tdspa.infer.checkpoint import OrbaxCheckpointer
-from tdspa.parallel.mesh import default_mesh
 from tdspa.parallel.shardings import shard_batch
 from tdspa.train.metrics import MetricLogger
 from tdspa.train.state import create_model_state
