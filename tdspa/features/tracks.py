@@ -69,11 +69,12 @@ class PrecomputedTrackProvider:
 class PyramidalLKTracker:
     """Pure-JAX pyramidal Lucas-Kanade grid tracker.
 
-    Runs on the host CPU backend by default: the tracker is gather-bound
-    (per-point window reads), which maps poorly onto the TPU's vector memory
-    through XLA (measured ~7 s/frame-pair on v5e vs ~0.35 s on host) — a
-    Pallas patch-slice LK kernel is the planned TPU-resident path. The
-    accelerator stays busy with the neural front-ends either way.
+    Backend selection ('auto'): on TPU, the Pallas dynamic-patch-slice
+    kernel (tdspa/kernels/lk.py) — XLA lowers this tracker's window sampling
+    to gathers the TPU executes catastrophically slowly (~7 s/frame-pair at
+    4096 points on v5e), while the kernel runs the full 150-frame 64x64-grid
+    workload in ~16 s on-chip vs ~45 s on a host core. Elsewhere, the XLA
+    implementation on the host CPU backend.
     """
 
     def __init__(
@@ -83,7 +84,7 @@ class PyramidalLKTracker:
         window: int = 7,
         iterations: int = 4,
         fb_threshold: float = 2.0,
-        device: str = "cpu",  # 'cpu' | 'default'
+        device: str = "auto",  # 'auto' | 'pallas' | 'cpu' | 'default'
     ):
         self.grid_size = grid_size
         self.num_levels = num_levels
@@ -92,32 +93,46 @@ class PyramidalLKTracker:
         self.fb_threshold = fb_threshold
         self.device = device
 
+    def _backend(self) -> str:
+        import jax
+
+        if self.device == "auto":
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            return "pallas" if on_tpu and self.window <= 7 else "cpu"
+        return self.device
+
     def __call__(self, video: np.ndarray) -> dict:
         import contextlib
 
         import jax
 
-        from tdspa.ops.lk import track_video_lk
-
         t, h, w = video.shape[:3]
         queries = make_query_grid(h, w, self.grid_size)
-        scope = (
-            jax.default_device(jax.devices("cpu")[0])
-            if self.device == "cpu"
-            else contextlib.nullcontext()
+        backend = self._backend()
+        kwargs = dict(
+            num_levels=self.num_levels,
+            window=self.window,
+            iterations=self.iterations,
+            fb_threshold=self.fb_threshold,
         )
-        with scope:
-            tracks, visible = track_video_lk(
-                video,
-                queries,
-                num_levels=self.num_levels,
-                window=self.window,
-                iterations=self.iterations,
-                fb_threshold=self.fb_threshold,
+        if backend == "pallas":
+            from tdspa.kernels.lk import track_video_lk_pallas
+
+            tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
+        else:
+            from tdspa.ops.lk import track_video_lk
+
+            scope = (
+                jax.default_device(jax.devices("cpu")[0])
+                if backend == "cpu"
+                else contextlib.nullcontext()
             )
-            tracks = np.asarray(tracks, np.float32)
-            visible = np.asarray(visible, np.float32)
-        return {"tracks": tracks, "visible": visible}
+            with scope:
+                tracks, visible = track_video_lk(video, queries, **kwargs)
+        return {
+            "tracks": np.asarray(tracks, np.float32),
+            "visible": np.asarray(visible, np.float32),
+        }
 
 
 class CoTrackerProvider:

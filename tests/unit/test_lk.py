@@ -54,6 +54,45 @@ def test_static_video_stays_put():
     assert np.asarray(visible).all()
 
 
+def test_pallas_lk_matches_xla_oracle():
+    """The Pallas patch-slice kernel (interpret mode) == the XLA tracker."""
+    import jax.numpy as jnp
+
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    T, H, W = 6, 64, 64
+    video = _make_video(T, H, W, 1.5, -0.8)
+    queries = np.array(
+        [[20.0, 30.0], [32.0, 32.0], [40.0, 20.0], [25.0, 40.0]], np.float32
+    )
+    ref_tracks, ref_vis = track_video_lk(
+        video, queries, num_levels=2, window=7, iterations=8
+    )
+    got_tracks, got_vis = track_video_lk_pallas(
+        video, jnp.asarray(queries), num_levels=2, window=7, iterations=8,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tracks), np.asarray(ref_tracks), atol=0.05
+    )
+    np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(ref_vis))
+
+
+def test_pallas_lk_pads_point_count():
+    """N not a multiple of 8 pads internally and slices back."""
+    import jax.numpy as jnp
+
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    video = _make_video(4, 64, 64, 0.5, 0.0)
+    queries = np.array([[20.0, 30.0], [32.0, 32.0], [40.0, 20.0]], np.float32)
+    tracks, vis = track_video_lk_pallas(
+        video, jnp.asarray(queries), num_levels=1, interpret=True
+    )
+    assert np.asarray(tracks).shape == (3, 4, 2)
+    assert np.asarray(vis).shape == (3, 4, 1)
+
+
 def test_point_leaving_frame_marked_invisible():
     T, H, W = 8, 48, 48
     video = _make_video(T, H, W, 8.0, 0.0)  # fast rightward motion
