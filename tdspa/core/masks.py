@@ -10,20 +10,15 @@ through two signals that gate attention *keys*:
 The 3D encoder prepends a learnable readout token whose key column is always
 attendable. The reference's construction of that mask is shape-inconsistent
 for T>1 (track_autoencoder_3d.py:167-180 concatenates a [*B,N,1,1] block onto
-[*B,N,T,T] on the row axis); this module implements the intended semantics:
-a [*B,N,T+1,T+1] mask whose key axis is [always-on readout | visible*in-bounds
-frames], with every query row identical.
+[*B,N,T,T] on the row axis); this module implements the intended semantics
+in broadcast key-row form — [*B,N,1,T+1] with the readout key always on and
+every (implicit) query row identical, equivalent to the reference's full
+[T+1,T+1] product without the O(N*T^2) mask tensor.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-
-
-def frame_partition_mask(num_frames: int, boundary_frame):
-    """[*B 1 1 T] mask: frame t attendable iff t < boundary_frame."""
-    time = jnp.arange(num_frames)
-    return time < boundary_frame[..., jnp.newaxis, jnp.newaxis, jnp.newaxis]
 
 
 def visibility_key_mask(visible):  # float['*B N T 1'] -> bool['*B N T T']

@@ -282,9 +282,11 @@ class TorchVDAProvider:
         self.encoder = encoder
         self.model_path = model_path
 
-    def __call__(self, video: np.ndarray, fps: float = 30.0) -> np.ndarray:
+    def __call__(self, video, fps: float = 30.0) -> np.ndarray:
         import os
         import sys
+
+        video = np.asarray(video)  # torch/cv2 cannot consume jax arrays
 
         for path in ("Video-Depth-Anything", "../Video-Depth-Anything",
                      "./Video-Depth-Anything"):
@@ -318,10 +320,14 @@ class TorchVDAProvider:
 def extract_depth_features(
     video: np.ndarray, provider=None, fps: float = 30.0, encoder: str = "vitb"
 ) -> np.ndarray:
-    """Reference-compatible entry (inference.py:218) -> [T H W 1]."""
+    """Reference-compatible entry (inference.py:218) -> host [T H W 1].
+
+    Returns a host numpy array like the reference; the pipeline uses the
+    provider objects directly to keep results device-resident."""
     if provider is None:
         provider = VideoDepthEstimator(encoder=encoder)
-    return provider(video) if not _wants_fps(provider) else provider(video, fps=fps)
+    out = provider(video) if not _wants_fps(provider) else provider(video, fps=fps)
+    return np.asarray(out, np.float32)
 
 
 def _wants_fps(provider) -> bool:

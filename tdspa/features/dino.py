@@ -118,6 +118,9 @@ def extract_dino_features(
     model_name: str = "facebook/dinov2-base",
     extractor: DinoFeatureExtractor | None = None,
 ) -> np.ndarray:
-    """Reference-compatible entry point (inference.py:157)."""
+    """Reference-compatible entry point (inference.py:157) -> host array.
+
+    Returns a host numpy array like the reference; the pipeline calls the
+    extractor object directly to keep features device-resident."""
     extractor = extractor or DinoFeatureExtractor(model_name=model_name)
-    return extractor(video)
+    return np.asarray(extractor(video), np.float32)

@@ -93,22 +93,32 @@ class PyramidalLKTracker:
         self.fb_threshold = fb_threshold
         self.device = device
 
-    def _backend(self) -> str:
+    def backend_for(self, video_shape) -> str:
         import jax
 
-        if self.device == "auto":
-            on_tpu = jax.default_backend() in ("tpu", "axon")
-            return "pallas" if on_tpu and self.window <= 7 else "cpu"
-        return self.device
+        if self.device != "auto":
+            return self.device
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # The Pallas kernel needs window <= 7 and a frame of at least one
+        # full (8, 128) register tile (Mosaic rejects narrower shapes).
+        h, w = video_shape[1], video_shape[2]
+        if on_tpu and self.window <= 7 and min(h, w) >= 128:
+            return "pallas"
+        return "cpu"
 
-    def __call__(self, video: np.ndarray) -> dict:
+    def prefers_device_input(self, video_shape) -> bool:
+        """True when the tracker consumes the accelerator-resident video
+        (lets the pipeline share its single host->HBM upload)."""
+        return self.backend_for(video_shape) == "pallas"
+
+    def __call__(self, video) -> dict:
         import contextlib
 
         import jax
 
         t, h, w = video.shape[:3]
         queries = make_query_grid(h, w, self.grid_size)
-        backend = self._backend()
+        backend = self.backend_for(video.shape)
         kwargs = dict(
             num_levels=self.num_levels,
             window=self.window,
@@ -128,7 +138,9 @@ class PyramidalLKTracker:
                 else contextlib.nullcontext()
             )
             with scope:
-                tracks, visible = track_video_lk(video, queries, **kwargs)
+                tracks, visible = track_video_lk(
+                    np.asarray(video), queries, **kwargs
+                )
         return {
             "tracks": np.asarray(tracks, np.float32),
             "visible": np.asarray(visible, np.float32),

@@ -209,13 +209,17 @@ class InferencePipeline:
     def run_on_frames(self, video: np.ndarray, fps: float = 30.0) -> dict:
         """Full pipeline on an in-memory [T H W 3] uint8 video."""
         t, h, w = video.shape[:3]
-        track_data = self._timed("tracking", self.track_provider, video)
+        # One host->HBM upload of the video, shared by every device stage;
+        # accelerator-resident trackers (Pallas LK) consume it too, host
+        # trackers work from the numpy copy.
+        video_dev = self._timed("video_upload", jnp.asarray, video)
+        wants_dev = getattr(self.track_provider, "prefers_device_input", None)
+        tracker_input = (
+            video_dev if wants_dev and wants_dev(video.shape) else video
+        )
+        track_data = self._timed("tracking", self.track_provider, tracker_input)
         tracks_2d = jnp.asarray(track_data["tracks"])
         visible = jnp.asarray(track_data["visible"])
-
-        # One host->HBM upload of the video, shared by every device stage
-        # (the tracker works from the host copy).
-        video_dev = self._timed("video_upload", jnp.asarray, video)
 
         dino_grid = None
         if self.use_dino:

@@ -95,14 +95,8 @@ def fused_masked_attention(q, k, v, key_mask=None, interpret: bool = False):
     k = k.astype(jnp.bfloat16)
     v = v.astype(jnp.bfloat16)
 
-    # VMEM accounting per batch item (f32-element units): logits + exp temp
-    # (f32), double-buffered bf16 operand blocks, f32 output block.
-    per_item = (
-        2 * heads * s * kv_len
-        + (s + 2 * kv_len) * heads * depth  # bf16 in, double-buffered ~ x1
-        + 2 * s * heads * depth  # f32 out
-    )
-    tile = min(_pick_tile(batch, 2_500_000, per_item), 8)
+    per_item = _per_item_elems(s, kv_len, heads, depth)
+    tile = min(_pick_tile(batch, VMEM_ELEM_BUDGET, per_item), 8)
     while batch % tile:
         tile -= 1
 
@@ -142,13 +136,25 @@ def fused_masked_attention(q, k, v, key_mask=None, interpret: bool = False):
     )(*operands)
 
 
-VMEM_ELEM_BUDGET = 3_000_000  # f32 elements per tile (~12 MB)
+VMEM_ELEM_BUDGET = 2_500_000  # f32 elements per tile (~10 MB of ~16 MB VMEM)
+
+
+def _per_item_elems(s, kv_len, heads, depth) -> int:
+    """Per-batch-item VMEM estimate (f32-element units): logits + exp temp
+    (f32), double-buffered bf16 operand blocks, f32 output block. The SAME
+    formula gates dispatch (``fused_attention_fits``) and sizes tiles, so a
+    gate-passing shape always compiles at tile >= 1."""
+    return (
+        2 * heads * s * kv_len
+        + (s + 2 * kv_len) * heads * depth
+        + 2 * s * heads * depth
+    )
 
 
 def fused_attention_fits(batch, s, kv_len, heads, depth) -> bool:
     """True when one batch item's working set fits the VMEM tile budget."""
-    per_item = heads * s * kv_len + 3 * max(s, kv_len) * heads * depth
-    return per_item <= VMEM_ELEM_BUDGET
+    del batch
+    return _per_item_elems(s, kv_len, heads, depth) <= VMEM_ELEM_BUDGET
 
 
 def _xla_reference(q, k, v, key_mask):
