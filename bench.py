@@ -23,6 +23,11 @@ import json
 import os
 import time
 
+# Zero-egress environment: skip huggingface-hub's ~2 min of connection
+# retries during the e2e warmup (weights resolve from local cache or fall
+# back to random init either way).
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
 import jax
 import jax.numpy as jnp
 

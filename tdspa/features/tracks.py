@@ -128,22 +128,67 @@ class PyramidalLKTracker:
         if backend == "pallas":
             from tdspa.kernels.lk import track_video_lk_pallas
 
+            # Stay device-resident: a host round trip of [N T 2]+[N T 1]
+            # costs seconds through a dev-tunnel transport and the pipeline
+            # consumes these on device anyway.
             tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
-        else:
-            from tdspa.ops.lk import track_video_lk
+            return {"tracks": tracks, "visible": visible}
+        from tdspa.ops.lk import track_video_lk
 
-            scope = (
-                jax.default_device(jax.devices("cpu")[0])
-                if backend == "cpu"
-                else contextlib.nullcontext()
+        scope = (
+            jax.default_device(jax.devices("cpu")[0])
+            if backend == "cpu"
+            else contextlib.nullcontext()
+        )
+        with scope:
+            tracks, visible = track_video_lk(
+                np.asarray(video), queries, **kwargs
             )
-            with scope:
-                tracks, visible = track_video_lk(
-                    np.asarray(video), queries, **kwargs
-                )
         return {
             "tracks": np.asarray(tracks, np.float32),
             "visible": np.asarray(visible, np.float32),
+        }
+
+    def track_chunks(self, chunks, interpret: bool = False) -> dict:
+        """Track across a consecutive list of device-resident video chunks.
+
+        Chains positions across chunk boundaries by prepending each chunk
+        with the previous chunk's final frame (the kernel's frame-0 output is
+        the queries themselves and is dropped for continuation chunks), so
+        the result is identical to one call on the concatenated video. Lets
+        the pipeline overlap host->HBM chunk uploads with tracking compute.
+        """
+        import jax.numpy as jnp
+
+        from tdspa.kernels.lk import track_video_lk_pallas
+
+        h, w = chunks[0].shape[1], chunks[0].shape[2]
+        kwargs = dict(
+            num_levels=self.num_levels,
+            window=self.window,
+            iterations=self.iterations,
+            fb_threshold=self.fb_threshold,
+            interpret=interpret,
+        )
+        pos = jnp.asarray(make_query_grid(h, w, self.grid_size))
+        prev_last = None
+        all_tracks, all_vis = [], []
+        for c in chunks:
+            seg = (
+                c
+                if prev_last is None
+                else jnp.concatenate([prev_last[jnp.newaxis], c], axis=0)
+            )
+            tr, vi = track_video_lk_pallas(seg, pos, **kwargs)  # [N Ts 2]
+            if prev_last is not None:
+                tr, vi = tr[:, 1:], vi[:, 1:]
+            all_tracks.append(tr)
+            all_vis.append(vi)
+            pos = tr[:, -1]
+            prev_last = c[-1]
+        return {
+            "tracks": jnp.concatenate(all_tracks, axis=1),
+            "visible": jnp.concatenate(all_vis, axis=1),
         }
 
 

@@ -14,11 +14,20 @@ Structure:
 * per grid step, both frames of every pyramid level are staged into VMEM by
   the block machinery (the same pyramid array appears once per side with
   frame-index maps t and t+1).
-* per point (``fori_loop``): coarse-to-fine Gauss-Newton with ``iterations``
-  refinement steps per level, then a backward pass for forward-backward
-  visibility checking — the same math as tdspa/ops/lk.py (the test oracle),
-  up to edge behavior: windows clipping the frame border shift inward rather
-  than clamping per pixel.
+* points process in GROUPS OF 8, fully vectorized: the 8 points' 16-row
+  window strips stack into ONE [128, W] tile (8 strips x 16 sublanes), and
+  all window arithmetic — bilinear combination, gradients, masking, the
+  Gauss-Newton normal equations and updates — runs once per group on stacked
+  tiles instead of once per point. Only the address-dependent work (strip
+  load + row/column alignment rolls) remains per-point; per-strip reductions
+  and weight broadcasts go through tiny constant 0/1 matmuls ([8,128] /
+  [128,8] selectors), and the GN solver state is [8,1] vector tiles. This
+  removed ~8x of instruction-issue overhead vs the round-1 per-point kernel
+  (measured 15.8 s -> see docs/BENCHMARKS.md) with identical math.
+
+The math matches tdspa/ops/lk.py (the test oracle) up to edge behavior:
+windows clipping the frame border shift inward rather than clamping per
+pixel.
 """
 
 from __future__ import annotations
@@ -32,95 +41,156 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _window_mask(window: int, width: int):
-    """[8, W] mask selecting the top-left [window, window] block."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (8, width), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (8, width), 1)
+    """[128, W] mask: rows (i % 16) < window and cols < window.
+
+    Selects the valid [window, window] block of every one of the 8 stacked
+    16-row strips.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, width), 0) % 16
+    cols = jax.lax.broadcasted_iota(jnp.int32, (128, width), 1)
     return ((rows < window) & (cols < window)).astype(jnp.float32)
 
 
-def _sample_window(img_ref, u, v, window: int, height: int, width: int):
-    """[8, W] tile whose [0:w, 0:w] block holds bilinear window samples.
+def _expand_matrix():
+    """[128, 8] constant: E[i, j] = 1 if i // 16 == j (strip expansion)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 0) // 16
+    cols = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
+    return (rows == cols).astype(jnp.float32)
 
-    Samples the frame at (u + ox, v + oy) for o in [-r, r]^2. All samples
+
+def _select_matrix():
+    """[8, 128] constant: S[j, i] = 1 if i // 16 == j (strip selection)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
+    return (rows == cols).astype(jnp.float32)
+
+
+def _expand8(vec8, expand):
+    """[8, 1] -> [128, 1], repeating each value over its 16-row strip.
+
+    A standard (no implicit transpose) matmul against the constant 0/1
+    expansion matrix — Mosaic's MXU transforms reject transposed-operand
+    contractions here.
+    """
+    return jax.lax.dot_general(
+        expand, vec8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _strip_sums(arr, select):
+    """[128, W] -> [8, 1]: sum of each 16-row strip."""
+    row_sums = jnp.sum(arr, axis=1, keepdims=True)  # [128, 1]
+    return jax.lax.dot_general(
+        select, row_sums, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [8, 1]
+
+
+def _sample_group(img_ref, u, v, window: int, height: int, width: int,
+                  narrow: bool):
+    """[128, W'] stacked bilinear window samples for 8 points.
+
+    u/v: [8, 1] f32 positions. Strip j (rows 16j..16j+15) holds point j's
+    window in its top-left [window, window] block. All of a point's samples
     share one fractional part, so the window equals a weighted sum of four
     one-pixel-shifted views. Mosaic alignment rules shape the implementation:
     sublane (row) dynamic slices must be 8-aligned (aligned 16-row strip +
     dynamic roll), lane (column) offsets cannot be dynamically sliced at all
     (dynamic roll instead), and registers only support aligned static slices
-    (the shifted views come from whole-strip static rolls; consumers mask the
-    valid [w, w] block via ``_window_mask``).
+    (the shifted views come from whole-tile static rolls; consumers mask the
+    valid [w, w] block via ``_window_mask``). With ``narrow``, strips slice
+    to their first 128 lanes after alignment (the window needs only
+    ``window + 1`` columns), shrinking all stacked arithmetic 4x at W=512.
     """
     r = (window - 1) // 2
+    strips = []
+    for j in range(8):
+        uj = u[j, 0]
+        vj = v[j, 0]
+        col = jnp.clip(jnp.floor(uj).astype(jnp.int32) - r, 0, width - window - 1)
+        row = jnp.clip(jnp.floor(vj).astype(jnp.int32) - r, 0, height - window - 1)
+        row_base = pl.multiple_of(jnp.clip((row // 8) * 8, 0, height - 16), 8)
+        strip = img_ref[pl.ds(row_base, 16), :]  # [16, W]
+        # pltpu.roll requires non-negative shifts: left-roll by k == right-
+        # roll by (size - k).
+        strip = pltpu.roll(strip, (16 - (row - row_base)) % 16, axis=0)
+        strip = pltpu.roll(strip, (width - col) % width, axis=1)
+        if narrow:
+            strip = strip[:, :128]
+        strips.append(strip)
+    stacked = jnp.concatenate(strips, axis=0)  # [128, W']
+    w_eff = stacked.shape[1]
+
+    expand = _expand_matrix()
     iu = jnp.floor(u)
     iv = jnp.floor(v)
-    wx = u - iu
-    wy = v - iv
-    col = jnp.clip(iu.astype(jnp.int32) - r, 0, width - window - 1)
-    row = jnp.clip(iv.astype(jnp.int32) - r, 0, height - window - 1)
-    row_base = pl.multiple_of(jnp.clip((row // 8) * 8, 0, height - 16), 8)
-    strip = img_ref[pl.ds(row_base, 16), :]  # [16, W]
-    # pltpu.roll requires non-negative shifts: left-roll by k == right-roll
-    # by (size - k).
-    strip = pltpu.roll(strip, (16 - (row - row_base)) % 16, axis=0)
-    strip = pltpu.roll(strip, (width - col) % width, axis=1)
-    # Note: slicing the strip to one 128-lane tile here measures SLOWER
-    # (repacking outweighs the narrower arithmetic); full-width ops stay.
-    s01 = pltpu.roll(strip, width - 1, axis=1)
-    s10 = pltpu.roll(strip, 15, axis=0)
-    s11 = pltpu.roll(s01, 15, axis=0)
-    combined = (
-        strip * (1 - wx) * (1 - wy)
+    wx = _expand8(u - iu, expand)  # [128, 1]
+    wy = _expand8(v - iv, expand)
+    # Static one-pixel shifts of all 8 windows at once. A whole-tile axis-0
+    # roll by -1 crosses strip boundaries only at each strip's row 15, which
+    # lies outside every (window <= 7)-row mask.
+    s01 = pltpu.roll(stacked, w_eff - 1, axis=1)
+    s10 = pltpu.roll(stacked, 127, axis=0)
+    s11 = pltpu.roll(s01, 127, axis=0)
+    return (
+        stacked * (1 - wx) * (1 - wy)
         + s01 * wx * (1 - wy)
         + s10 * (1 - wx) * wy
         + s11 * wx * wy
     )
-    return combined[:8, :]
 
 
-def _track_point_one_dir(i0_refs, i1_refs, shapes, masks, x, y, window,
-                         iterations):
-    """Coarse-to-fine LK for one point; returns (new_x, new_y, min_eig)."""
+def _track_group_one_dir(i0_refs, i1_refs, shapes, masks, xy, window,
+                         iterations, narrow):
+    """Coarse-to-fine LK for a group of 8 points, fully stacked.
+
+    xy: [8, 2] start positions. Returns (new_xy [8, 2], min_eig [8, 1]).
+    """
     num_levels = len(i0_refs)
-    dx = jnp.float32(0.0)
-    dy = jnp.float32(0.0)
-    min_eig = jnp.float32(0.0)
+    select = _select_matrix()
+    x = xy[:, 0:1]  # [8, 1]
+    y = xy[:, 1:2]
+    dx = jnp.zeros((8, 1), jnp.float32)
+    dy = jnp.zeros((8, 1), jnp.float32)
+    min_eig = jnp.zeros((8, 1), jnp.float32)
 
     for lvl in reversed(range(num_levels)):
         scale = 2.0**lvl
         height, width = shapes[lvl]
-        mask = masks[lvl]  # [8, W_l] valid-window mask
+        mask = masks[lvl]  # [128, W'] valid-window mask
         px = x / scale
         py = y / scale
 
         samp0 = functools.partial(
-            _sample_window, i0_refs[lvl], window=window,
-            height=height, width=width,
+            _sample_group, i0_refs[lvl], window=window,
+            height=height, width=width, narrow=narrow,
         )
         t_win = samp0(px, py)
         ix = (samp0(px + 0.5, py) - samp0(px - 0.5, py)) * mask
         iy = (samp0(px, py + 0.5) - samp0(px, py - 0.5)) * mask
 
-        gxx = jnp.sum(ix * ix)
-        gxy = jnp.sum(ix * iy)
-        gyy = jnp.sum(iy * iy)
+        gxx = _strip_sums(ix * ix, select)  # [8, 1]
+        gxy = _strip_sums(ix * iy, select)
+        gyy = _strip_sums(iy * iy, select)
         det = gxx * gyy - gxy * gxy
         trace = gxx + gyy
         min_eig = (trace - jnp.sqrt(jnp.maximum(trace**2 - 4 * det, 0.0))) / 2.0
         inv_det = jnp.where(jnp.abs(det) > 1e-8, 1.0 / det, 0.0)
 
         samp1 = functools.partial(
-            _sample_window, i1_refs[lvl], window=window,
-            height=height, width=width,
+            _sample_group, i1_refs[lvl], window=window,
+            height=height, width=width, narrow=narrow,
         )
 
         def iter_body(_, carry, _samp1=samp1, _t=t_win, _ix=ix, _iy=iy,
                       _inv=inv_det, _gxx=gxx, _gxy=gxy, _gyy=gyy,
-                      _px=px, _py=py):
+                      _px=px, _py=py, _select=select):
             cdx, cdy = carry
             p_win = _samp1(_px + cdx, _py + cdy)
             resid = p_win - _t  # garbage outside the window; ix/iy are masked
-            bxv = jnp.sum(resid * _ix)
-            byv = jnp.sum(resid * _iy)
+            bxv = _strip_sums(resid * _ix, _select)  # [8, 1]
+            byv = _strip_sums(resid * _iy, _select)
             cdx = cdx - _inv * (_gyy * bxv - _gxy * byv)
             cdy = cdy - _inv * (-_gxy * bxv + _gxx * byv)
             return cdx, cdy
@@ -129,7 +199,7 @@ def _track_point_one_dir(i0_refs, i1_refs, shapes, masks, x, y, window,
         if lvl > 0:
             dx = dx * 2.0
             dy = dy * 2.0
-    return x + dx, y + dy, min_eig
+    return jnp.concatenate([x + dx, y + dy], axis=1), min_eig
 
 
 def _lk_pair_kernel(
@@ -140,6 +210,7 @@ def _lk_pair_kernel(
     iterations: int,
     fb_threshold: float,
     shapes: tuple,
+    narrow: bool,
 ):
     level_refs = refs[: 2 * num_levels]
     tracks_ref, vis_ref = refs[2 * num_levels : 2 * num_levels + 2]
@@ -148,7 +219,10 @@ def _lk_pair_kernel(
     i0_refs = [level_refs[2 * l] for l in range(num_levels)]
     i1_refs = [level_refs[2 * l + 1] for l in range(num_levels)]
     height, width = shapes[0]
-    masks = [_window_mask(window, shapes[l][1]) for l in range(num_levels)]
+    masks = [
+        _window_mask(window, 128 if narrow else shapes[l][1])
+        for l in range(num_levels)
+    ]
 
     t = pl.program_id(0)
 
@@ -158,39 +232,33 @@ def _lk_pair_kernel(
 
     num_points = queries_ref.shape[0]
 
-    # Points process in groups of 8 so every VMEM load/store offset is
-    # sublane-aligned (Mosaic requires %8 dynamic offsets); the inner 8 are
-    # statically unrolled over a register-resident group.
+    # Groups of 8 keep every VMEM load/store offset sublane-aligned (Mosaic
+    # requires %8 dynamic offsets); within a group everything is stacked
+    # [128, W] / [8, 1] vector work (see _track_group_one_dir).
     def group_body(g, _):
         base = pl.multiple_of(g * 8, 8)
         grp = pos_ref[pl.ds(base, 8), :]  # [8, 2]
-        new_rows = []
-        vis_rows = []
-        for j in range(8):
-            x = grp[j, 0]
-            y = grp[j, 1]
-            nx, ny, min_eig = _track_point_one_dir(
-                i0_refs, i1_refs, shapes, masks, x, y, window, iterations
-            )
-            bx_, by_, _ = _track_point_one_dir(
-                i1_refs, i0_refs, shapes, masks, nx, ny, window, iterations
-            )
-            fb_err = jnp.sqrt((bx_ - x) ** 2 + (by_ - y) ** 2)
-            in_bounds = (
-                (nx >= 0) & (nx <= width - 1) & (ny >= 0) & (ny <= height - 1)
-            )
-            visible = (fb_err < fb_threshold) & in_bounds & (min_eig > 1e-6)
-            # Scalars splat to 2D directly: 1D vectors don't lower on TPU.
-            cx = jnp.clip(nx, 0, width - 1)[jnp.newaxis, jnp.newaxis]
-            cy = jnp.clip(ny, 0, height - 1)[jnp.newaxis, jnp.newaxis]
-            new_rows.append(jnp.concatenate([cx, cy], axis=1))  # [1, 2]
-            vis_rows.append(
-                visible.astype(jnp.float32)[jnp.newaxis, jnp.newaxis]
-            )
-        new_pos = jnp.concatenate(new_rows, axis=0)  # [8, 2]
+        fwd, min_eig = _track_group_one_dir(
+            i0_refs, i1_refs, shapes, masks, grp, window, iterations, narrow
+        )
+        bwd, _ = _track_group_one_dir(
+            i1_refs, i0_refs, shapes, masks, fwd, window, iterations, narrow
+        )
+        fb_err = jnp.sqrt(
+            jnp.sum((bwd - grp) ** 2, axis=1, keepdims=True)
+        )  # [8, 1]
+        nx = fwd[:, 0:1]
+        ny = fwd[:, 1:2]
+        in_bounds = (
+            (nx >= 0) & (nx <= width - 1) & (ny >= 0) & (ny <= height - 1)
+        )
+        visible = (fb_err < fb_threshold) & in_bounds & (min_eig > 1e-6)
+        new_pos = jnp.concatenate(
+            [jnp.clip(nx, 0, width - 1), jnp.clip(ny, 0, height - 1)], axis=1
+        )  # [8, 2]
         pos_ref[pl.ds(base, 8), :] = new_pos
         tracks_ref[pl.ds(base, 8), :] = new_pos
-        vis_ref[pl.ds(base, 8), :] = jnp.concatenate(vis_rows, axis=0)
+        vis_ref[pl.ds(base, 8), :] = visible.astype(jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, num_points // 8, group_body, 0)
@@ -199,7 +267,7 @@ def _lk_pair_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_levels", "window", "iterations", "fb_threshold",
-                     "interpret"),
+                     "narrow", "interpret"),
 )
 def track_video_lk_pallas(
     video,  # [T H W 3] uint8/float
@@ -208,6 +276,7 @@ def track_video_lk_pallas(
     window: int = 7,
     iterations: int = 4,
     fb_threshold: float = 2.0,
+    narrow: bool = True,
     interpret: bool = False,
 ):
     """TPU-resident LK tracking; same contract as tdspa.ops.lk.track_video_lk."""
@@ -252,6 +321,7 @@ def track_video_lk_pallas(
         iterations=iterations,
         fb_threshold=float(fb_threshold),
         shapes=shapes,
+        narrow=narrow and width >= 128,
     )
     tracks, vis = pl.pallas_call(
         kernel,

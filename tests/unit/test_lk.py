@@ -101,3 +101,40 @@ def test_point_leaving_frame_marked_invisible():
                                      iterations=8)
     vis = np.asarray(visible)[0, :, 0]
     assert vis[-1] == 0.0  # drifted out of frame by the end
+
+
+def test_chunked_tracking_matches_unchunked():
+    """track_chunks == one call on the concatenated video (interpret mode)."""
+    import jax.numpy as jnp
+
+    from tdspa.features.tracks import PyramidalLKTracker
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    T, H, W = 10, 64, 64
+    video = _make_video(T, H, W, 1.0, -0.5)
+    tracker = PyramidalLKTracker(grid_size=2, num_levels=1, iterations=4)
+    queries = jnp.asarray(
+        np.array([[20.0, 30.0], [32.0, 32.0], [40.0, 20.0], [25.0, 40.0]],
+                 np.float32)
+    )
+    ref_tracks, ref_vis = track_video_lk_pallas(
+        jnp.asarray(video), queries, num_levels=1, iterations=4,
+        interpret=True,
+    )
+    tracker.grid_size = 2  # make_query_grid(64, 64, 2) != queries; bypass:
+    import tdspa.features.tracks as tracks_mod
+
+    orig = tracks_mod.make_query_grid
+    tracks_mod.make_query_grid = lambda *a, **k: np.asarray(queries)
+    try:
+        chunks = [jnp.asarray(video[0:4]), jnp.asarray(video[4:8]),
+                  jnp.asarray(video[8:10])]
+        got = tracker.track_chunks(chunks, interpret=True)
+    finally:
+        tracks_mod.make_query_grid = orig
+    np.testing.assert_allclose(
+        np.asarray(got["tracks"]), np.asarray(ref_tracks), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["visible"]), np.asarray(ref_vis)
+    )
