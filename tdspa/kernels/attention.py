@@ -71,6 +71,149 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale):
     jax.lax.fori_loop(0, tile, item, 0)
 
 
+def _mha_flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, out_ref, m_ref, d_ref, acc_ref, *, scale
+):
+    """KV-blocked online-softmax attention (one batch item per grid row).
+
+    grid = (batch, kv_blocks); the TPU grid executes sequentially with the
+    last dimension fastest, so the running max / denominator / weighted-value
+    accumulators live in VMEM scratch across a row's kv steps and the
+    normalized output is written once at the final block. This serves shapes
+    whose whole KV set exceeds the VMEM budget — e.g. the 3DSPA encoder's
+    128-latent x N-track cross-attention at N=2048 (SURVEY §2.6's named
+    native-tier target).
+    """
+    kv_i = pl.program_id(1)
+    num_kv = pl.num_programs(1)
+    big_neg = jnp.finfo(jnp.float32).min
+
+    @pl.when(kv_i == 0)
+    def _():
+        # finfo.min (not -inf): fully-masked rows then keep alpha = exp(0)=1
+        # and accumulate uniform weights -> the mean of values, matching the
+        # unblocked kernel and the reference's flax semantics.
+        m_ref[:] = jnp.full(m_ref.shape, big_neg, jnp.float32)
+        d_ref[:] = jnp.zeros(d_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    # Head-major: Mosaic's batched matmul needs the batch (head) dim first.
+    q = jnp.transpose(q_ref[0].astype(jnp.bfloat16), (1, 0, 2))  # [H,S,D]
+    k = jnp.transpose(k_ref[0].astype(jnp.bfloat16), (1, 0, 2))  # [H,KB,D]
+    v = jnp.transpose(v_ref[0].astype(jnp.bfloat16), (1, 0, 2))
+
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [H, S, KB]
+    if mask_ref is not None:
+        mask = mask_ref[0]  # [1, KB]; 1 = attend, 0 = user-masked, -1 = pad
+        logits = jnp.where((mask > 0)[jnp.newaxis, :, :], logits, big_neg)
+
+    m_prev = m_ref[:]  # [H, S]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)  # [H, S]
+    p = jnp.exp(logits - m_new[..., jnp.newaxis])  # [H, S, KB]
+    if mask_ref is not None:
+        # Padded keys are excluded even from the fully-masked-row uniform
+        # fallback (where every real key's p becomes exp(0) = 1); user-masked
+        # keys stay in it, matching the unblocked kernel / flax semantics.
+        p = p * (mask >= 0)[jnp.newaxis, :, :]
+    d_ref[:] = d_ref[:] * alpha + jnp.sum(p, axis=-1)
+    pv = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, S, D]
+    acc_ref[:] = acc_ref[:] * alpha[..., jnp.newaxis] + pv
+    m_ref[:] = m_new
+
+    @pl.when(kv_i == num_kv - 1)
+    def _():
+        out = acc_ref[:] / d_ref[:][..., jnp.newaxis]
+        out_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
+
+
+def _pick_kv_block(kv_len: int, s: int, heads: int, depth: int) -> int:
+    """Largest KV block (multiple of 128, <= 512) whose step fits VMEM."""
+    for kb in (512, 384, 256, 128):
+        # logits + p (f32) + double-buffered bf16 k/v blocks + q/out/acc.
+        elems = (
+            2 * heads * s * kb
+            + 2 * kb * heads * depth
+            + 3 * s * heads * depth
+        )
+        if elems <= VMEM_ELEM_BUDGET:
+            return kb
+    return 128
+
+
+def _flash_attention(q, k, v, key_mask, interpret: bool = False):
+    """KV-blocked dispatch: pads KV to a block multiple and runs the online-
+    softmax kernel. q [B,S,H,D], k/v [B,K,H,D], key_mask [B,K] or None."""
+    batch, s, heads, depth = q.shape
+    kv_len = k.shape[1]
+    scale = 1.0 / (depth ** 0.5)
+
+    kb = _pick_kv_block(kv_len, s, heads, depth)
+    pad = (-kv_len) % kb
+    if pad and key_mask is None:
+        key_mask = jnp.ones((batch, kv_len), jnp.float32)
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # Pad marker -1 (vs user-masked 0): see _mha_flash_kernel.
+        key_mask = jnp.pad(
+            key_mask.astype(jnp.float32), ((0, 0), (0, pad)),
+            constant_values=-1.0,
+        )
+    padded_kv = kv_len + pad
+    num_kv = padded_kv // kb
+
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+
+    kernel = functools.partial(_mha_flash_kernel, scale=scale)
+    operands = [q, k, v]
+    in_specs = [
+        pl.BlockSpec((1, s, heads, depth), lambda b, i: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kb, heads, depth), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kb, heads, depth), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if key_mask is not None:
+        operands.append(key_mask.astype(jnp.float32)[:, jnp.newaxis, :])
+        in_specs.append(
+            pl.BlockSpec((1, 1, kb), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        wrapped = kernel
+    else:
+        def wrapped(q_ref, k_ref, v_ref, out_ref, m_ref, d_ref, acc_ref):
+            kernel(q_ref, k_ref, v_ref, None, out_ref, m_ref, d_ref, acc_ref)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=(batch, num_kv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, s, heads, depth), lambda b, i: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((heads, s), jnp.float32),
+            pltpu.VMEM((heads, s), jnp.float32),
+            pltpu.VMEM((heads, s, depth), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
 def _pick_tile(batch: int, budget_elems: int, per_item: int) -> int:
     tile = max(1, budget_elems // max(per_item, 1))
     while batch % tile:
@@ -89,13 +232,17 @@ def fused_masked_attention(q, k, v, key_mask=None, interpret: bool = False):
     kv_len = k.shape[1]
     scale = 1.0 / (depth ** 0.5)
 
+    per_item = _per_item_elems(s, kv_len, heads, depth)
+    if per_item > VMEM_ELEM_BUDGET:
+        # Whole-KV doesn't fit one item's VMEM tile: KV-blocked online
+        # softmax (the 128x2048 tracks_to_latents cross-attention path).
+        return _flash_attention(q, k, v, key_mask, interpret=interpret)
+
     # Stage operands as bf16 (the kernel computes in bf16 anyway): halves
     # VMEM block size and HBM traffic.
     q = q.astype(jnp.bfloat16)
     k = k.astype(jnp.bfloat16)
     v = v.astype(jnp.bfloat16)
-
-    per_item = _per_item_elems(s, kv_len, heads, depth)
     tile = min(_pick_tile(batch, VMEM_ELEM_BUDGET, per_item), 8)
     while batch % tile:
         tile -= 1
@@ -152,9 +299,14 @@ def _per_item_elems(s, kv_len, heads, depth) -> int:
 
 
 def fused_attention_fits(batch, s, kv_len, heads, depth) -> bool:
-    """True when one batch item's working set fits the VMEM tile budget."""
+    """True when the shape is serviceable by a fused kernel: either the whole
+    KV fits one item's VMEM tile, or a 128-wide KV block does (the blocked
+    online-softmax path takes over)."""
     del batch
-    return _per_item_elems(s, kv_len, heads, depth) <= VMEM_ELEM_BUDGET
+    if _per_item_elems(s, kv_len, heads, depth) <= VMEM_ELEM_BUDGET:
+        return True
+    blocked_step = 2 * heads * s * 128 + 2 * 128 * heads * depth + 3 * s * heads * depth
+    return blocked_step <= VMEM_ELEM_BUDGET
 
 
 def _xla_reference(q, k, v, key_mask):

@@ -84,3 +84,48 @@ def test_bilinear_pallas_dino_shapes():
         bilinear_sample_pallas(jnp.asarray(grid), jnp.asarray(coords), interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_flash_attention_matches_xla_multiblock():
+    """KV-blocked online-softmax path: KV spans multiple blocks + padding."""
+    from tdspa.kernels.attention import _flash_attention
+
+    B, S, K, H, D = 2, 16, 1152, 2, 8  # kb=512 -> pad to 1536, 3 blocks
+    q = jnp.asarray(RNG.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(B, K, H, D)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, K, H, D)).astype(np.float32))
+    mask = (RNG.uniform(size=(B, K)) > 0.3).astype(np.float32)
+    mask[0] = 0.0  # fully-masked item: must degrade to the mean of values
+    mask = jnp.asarray(mask)
+
+    ref = masked_dot_product_attention(
+        q, k, v, mask=mask[:, None, None, :], compute_dtype=jnp.bfloat16
+    )
+    got = _flash_attention(q, k, v, key_mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_flash_attention_unmasked_with_padding():
+    from tdspa.kernels.attention import _flash_attention
+
+    B, S, K, H, D = 2, 8, 700, 2, 8  # pad 700 -> 1024: synthesized mask
+    q = jnp.asarray(RNG.normal(size=(B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(RNG.normal(size=(B, K, H, D)).astype(np.float32))
+    v = jnp.asarray(RNG.normal(size=(B, K, H, D)).astype(np.float32))
+    ref = masked_dot_product_attention(q, k, v, compute_dtype=jnp.bfloat16)
+    got = _flash_attention(q, k, v, key_mask=None, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+
+def test_fused_dispatch_blocked_for_large_kv():
+    """fused_masked_attention routes oversized-KV shapes to the blocked path
+    (the tracks_to_latents 128x2048 shape must not fall back to XLA)."""
+    from tdspa.kernels.attention import fused_attention_fits
+
+    assert fused_attention_fits(1, 128, 2048, 8, 96)
+    # And the whole-KV estimate indeed exceeds the budget (so this exercises
+    # the blocked branch, not the tile kernel).
+    from tdspa.kernels.attention import VMEM_ELEM_BUDGET, _per_item_elems
+
+    assert _per_item_elems(128, 2048, 8, 96) > VMEM_ELEM_BUDGET
