@@ -95,6 +95,89 @@ def fused_tail(
     return predictions, batch, tracks_3d
 
 
+def make_mesh_tail(
+    mesh,
+    model,
+    num_support: int,
+    num_queries: int,
+    video_hw: tuple,
+    use_dino: bool = True,
+    use_depth: bool = True,
+):
+    """Mesh-sharded fused tail: the multi-chip decode path.
+
+    Parallelism layout (SURVEY §2.7 — Q/N set-sharding is this model's
+    SP/CP): the raw track set shards over every mesh axis jointly; after the
+    support/query split both sets keep that layout
+    (``query_sharded_batch_spec``), so each device encodes its slice of
+    tracks (XLA all-gathers/psums the latents' cross-attention over the
+    track set) and decodes its slice of queries against replicated latents.
+    Params and the per-frame feature grids are replicated. The model must be
+    a plain-XLA one (``fused_attention=False``): Pallas calls have no SPMD
+    partitioning rules, so the partitioner would force replication around
+    them.
+
+    Returns a jitted ``tail(params, tracks_2d, visible, dino_grid,
+    depth_maps, key)`` -> (predictions, batch, tracks_3d).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tdspa.parallel.shardings import query_sharded_batch_spec
+
+    repl = NamedSharding(mesh, P())
+    track_set = NamedSharding(mesh, P(("data", "seq")))
+    specs = query_sharded_batch_spec()
+
+    def tail(params, tracks_2d, visible, dino_grid, depth_maps, key):
+        num_frames = tracks_2d.shape[1]
+        if use_depth and depth_maps is not None:
+            tracks_3d = lift_2d_to_3d(tracks_2d, depth_maps)
+        else:
+            tracks_3d = jnp.concatenate(
+                [tracks_2d, jnp.ones(tracks_2d.shape[:-1] + (1,))], axis=-1
+            )
+        dino_feats = (
+            sample_dino_features_for_tracks(
+                dino_grid, tracks_2d, (num_frames,) + tuple(video_hw) + (3,)
+            )
+            if use_dino and dino_grid is not None
+            else None
+        )
+        depth_feats = (
+            sample_depth_features_for_tracks(depth_maps, tracks_2d)
+            if use_depth and depth_maps is not None
+            else None
+        )
+        batch = split_and_sample_queries(
+            key,
+            tracks_3d,
+            visible,
+            num_support=num_support,
+            num_queries=num_queries,
+            num_frames=num_frames,
+            dino_features=dino_feats,
+            depth_features=depth_feats,
+        )
+        batch = {
+            k: (
+                jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, specs[k])
+                )
+                if k in specs
+                else v
+            )
+            for k, v in batch.items()
+        }
+        predictions = model.apply({"params": params}, batch)
+        return predictions, batch, tracks_3d
+
+    return jax.jit(
+        tail,
+        in_shardings=(repl, track_set, track_set, repl, repl, repl),
+        out_shardings=(repl, None, None),
+    )
+
+
 class InferencePipeline:
     """Configured end-to-end pipeline with pluggable front-ends."""
 
@@ -116,6 +199,8 @@ class InferencePipeline:
         model: Any = None,
         seed: int = 0,
         dtype=jnp.bfloat16,
+        mesh=None,
+        upload_chunk_frames: int = 40,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -126,6 +211,11 @@ class InferencePipeline:
         self.dino_model_name = dino_model
         self.vda_encoder = vda_encoder
         self.seed = seed
+        self.mesh = mesh
+        # Chunk size for streamed host->HBM upload. Multiples of 8 keep the
+        # depth extractor's temporal-attention windows aligned with the
+        # unchunked grouping (its lax.map groups are 8 frames).
+        self.upload_chunk_frames = upload_chunk_frames
         self.model = model or TrackAutoEncoder3D(
             num_output_frames=num_output_frames,
             use_dino=use_dino,
@@ -133,9 +223,12 @@ class InferencePipeline:
             dtype=dtype,
             # The fused Pallas kernel computes in bf16; only engage it when
             # bf16 compute was requested (and only on TPU — see the gate in
-            # core/attention.py). An explicit f32 pipeline stays f32.
-            fused_attention=(dtype == jnp.bfloat16),
+            # core/attention.py). An explicit f32 pipeline stays f32. With a
+            # mesh, the tail partitions under SPMD where Pallas calls have no
+            # partitioning rules, so the mesh path is plain XLA.
+            fused_attention=(dtype == jnp.bfloat16) and mesh is None,
         )
+        self._mesh_tail = None
         self._track_provider = track_provider
         self._dino_extractor = dino_extractor
         self._depth_provider = depth_provider
@@ -209,15 +302,40 @@ class InferencePipeline:
     def run_on_frames(self, video: np.ndarray, fps: float = 30.0) -> dict:
         """Full pipeline on an in-memory [T H W 3] uint8 video."""
         t, h, w = video.shape[:3]
-        # One host->HBM upload of the video, shared by every device stage;
-        # accelerator-resident trackers (Pallas LK) consume it too, host
-        # trackers work from the numpy copy.
-        video_dev = self._timed("video_upload", jnp.asarray, video)
         wants_dev = getattr(self.track_provider, "prefers_device_input", None)
-        tracker_input = (
-            video_dev if wants_dev and wants_dev(video.shape) else video
-        )
-        track_data = self._timed("tracking", self.track_provider, tracker_input)
+        on_device_tracker = bool(wants_dev and wants_dev(video.shape))
+        chunk = self.upload_chunk_frames
+        if (
+            on_device_tracker
+            and hasattr(self.track_provider, "track_chunks")
+            and chunk
+            and t > chunk
+        ):
+            # Streamed upload: chunk transfers enqueue asynchronously and the
+            # per-chunk tracking compute overlaps them (each chunk's kernel
+            # waits only on its own transfer). The video is uploaded exactly
+            # once; later stages consume the device-side concatenation.
+            t0 = time.perf_counter()
+            chunks = [
+                jnp.asarray(video[i : i + chunk]) for i in range(0, t, chunk)
+            ]
+            track_data = self.track_provider.track_chunks(chunks)
+            video_dev = jnp.concatenate(chunks, axis=0)
+            float(track_data["tracks"].ravel()[0])  # sync: upload + tracking
+            self.timings["upload_and_tracking"] = time.perf_counter() - t0
+            logging.info(
+                "upload_and_tracking (overlapped): %.3fs",
+                self.timings["upload_and_tracking"],
+            )
+        else:
+            # One host->HBM upload of the video, shared by every device
+            # stage; accelerator-resident trackers (Pallas LK) consume it
+            # too, host trackers work from the numpy copy.
+            video_dev = self._timed("video_upload", jnp.asarray, video)
+            tracker_input = video_dev if on_device_tracker else video
+            track_data = self._timed(
+                "tracking", self.track_provider, tracker_input
+            )
         tracks_2d = jnp.asarray(track_data["tracks"])
         visible = jnp.asarray(track_data["visible"])
 
@@ -259,20 +377,40 @@ class InferencePipeline:
             self.load_params(example_batch)
 
         t0 = time.perf_counter()
-        predictions, batch, tracks_3d = fused_tail(
-            self.params,
-            tracks_2d,
-            visible,
-            dino_grid,
-            depth_maps,
-            jax.random.PRNGKey(self.seed),
-            self.model,
-            num_support,
-            num_queries,
-            (h, w),
-            self.use_dino,
-            self.use_depth,
-        )
+        if self.mesh is not None:
+            if self._mesh_tail is None:
+                self._mesh_tail = make_mesh_tail(
+                    self.mesh,
+                    self.model,
+                    num_support,
+                    num_queries,
+                    (h, w),
+                    self.use_dino,
+                    self.use_depth,
+                )
+            predictions, batch, tracks_3d = self._mesh_tail(
+                self.params,
+                tracks_2d,
+                visible,
+                dino_grid,
+                depth_maps,
+                jax.random.PRNGKey(self.seed),
+            )
+        else:
+            predictions, batch, tracks_3d = fused_tail(
+                self.params,
+                tracks_2d,
+                visible,
+                dino_grid,
+                depth_maps,
+                jax.random.PRNGKey(self.seed),
+                self.model,
+                num_support,
+                num_queries,
+                (h, w),
+                self.use_dino,
+                self.use_depth,
+            )
         jax.block_until_ready(predictions.tracks)
         self.timings["fused_tail"] = time.perf_counter() - t0
         logging.info("fused_tail (lift+sample+split+model): %.3fs",
@@ -281,9 +419,12 @@ class InferencePipeline:
         return {
             "predictions": predictions,
             "video": video,
-            "tracks_3d": np.asarray(tracks_3d),
-            "support_tracks": np.asarray(batch["support_tracks"][0]),
-            "query_tracks": np.asarray(batch["query_tracks"][0]),
+            # Device-resident: downloading [N T 3] track sets through a
+            # dev-tunnel transport costs seconds; ``save_results`` (or any
+            # host consumer) converts with np.asarray on demand.
+            "tracks_3d": tracks_3d,
+            "support_tracks": batch["support_tracks"][0],
+            "query_tracks": batch["query_tracks"][0],
             # Left device-resident (can be ~100s of MB); np.asarray() if
             # host access is needed.
             "depth": depth_maps,
@@ -315,8 +456,8 @@ def save_results(results: dict, output_dir: str) -> None:
         os.path.join(output_dir, "predictions.npz"),
         tracks_3d=pred_tracks,
         visible_logits=pred_visible,
-        query_tracks=results["query_tracks"],
-        support_tracks=results["support_tracks"],
+        query_tracks=np.asarray(results["query_tracks"]),
+        support_tracks=np.asarray(results["support_tracks"]),
     )
     with open(os.path.join(output_dir, "video_info.txt"), "w") as f:
         f.write(f"FPS: {results['fps']}\n")

@@ -92,6 +92,13 @@ def train(
 
     train_step = make_train_step(model, tx, schedule, mesh=mesh)
     eval_step = make_eval_step(model, mesh=mesh)
+    if mesh is not None:
+        # Pre-place the state replicated so every step hits ONE pjit cache
+        # entry (the first call would otherwise key on uncommitted arrays and
+        # trace twice).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
 
     step = int(state.step)
     for epoch in range(num_epochs):

@@ -79,28 +79,32 @@ def make_train_step(model, optimizer, schedule=None, mesh=None, donate: bool = T
     specs = train_batch_spec()
     repl = NamedSharding(mesh, P())
 
-    def shard_of(key):
-        return NamedSharding(mesh, specs.get(key, P()))
-
-    def batch_shardings(batch):
-        return {k: shard_of(k) for k in batch}
+    # One jitted callable per batch key-set (shardings depend only on which
+    # keys are present, not on shapes): construction is hoisted out of the
+    # per-step path so repeated steps hit ONE pjit object whose own cache
+    # guarantees no retraces (asserted in tests/dist/test_sharding.py).
+    compiled_cache: dict = {}
 
     @functools.wraps(step)
     def sharded_step(state, batch):
-        compiled = jax.jit(
-            step,
-            in_shardings=(
-                jax.tree_util.tree_map(lambda _: repl, state),
-                batch_shardings(batch),
-            ),
-            out_shardings=(
-                jax.tree_util.tree_map(lambda _: repl, state),
-                None,
-            ),
-            donate_argnums=(0,) if donate else (),
-        )
+        cache_key = tuple(sorted(batch))
+        compiled = compiled_cache.get(cache_key)
+        if compiled is None:
+            compiled = jax.jit(
+                step,
+                in_shardings=(
+                    repl,  # pytree prefix: whole state replicated
+                    {k: NamedSharding(mesh, specs.get(k, P())) for k in cache_key},
+                ),
+                out_shardings=(repl, None),
+                donate_argnums=(0,) if donate else (),
+            )
+            compiled_cache[cache_key] = compiled
         return compiled(state, batch)
 
+    sharded_step.cache_size = lambda: sum(
+        c._cache_size() for c in compiled_cache.values()
+    )
     return sharded_step
 
 
@@ -128,15 +132,20 @@ def make_eval_step(model, mesh=None):
 
     specs = train_batch_spec()
     repl = NamedSharding(mesh, P())
+    compiled_cache: dict = {}
 
     def sharded_step(params, batch):
-        compiled = jax.jit(
-            step,
-            in_shardings=(
-                jax.tree_util.tree_map(lambda _: repl, params),
-                {k: NamedSharding(mesh, specs.get(k, P())) for k in batch},
-            ),
-        )
+        cache_key = tuple(sorted(batch))
+        compiled = compiled_cache.get(cache_key)
+        if compiled is None:
+            compiled = jax.jit(
+                step,
+                in_shardings=(
+                    repl,
+                    {k: NamedSharding(mesh, specs.get(k, P())) for k in cache_key},
+                ),
+            )
+            compiled_cache[cache_key] = compiled
         return compiled(params, batch)
 
     return sharded_step

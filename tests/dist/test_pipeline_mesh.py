@@ -1,0 +1,127 @@
+"""The mesh-wired inference tail: sharded == single-device on the 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdspa.infer.pipeline import fused_tail, make_mesh_tail
+from tdspa.parallel import make_mesh
+from tdspa.utils.testing import tiny_model_3d
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+T, H, W = 10, 32, 32
+N_TRACKS, N_SUPPORT, N_QUERIES = 64, 32, 16
+
+
+def _front_end(rng):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    tracks_2d = jax.random.uniform(
+        k1, (N_TRACKS, T, 2), minval=0.0, maxval=W - 1.0
+    )
+    visible = (
+        jax.random.uniform(k2, (N_TRACKS, T, 1)) > 0.2
+    ).astype(jnp.float32)
+    dino_grid = jax.random.normal(k3, (T, 4, 4, 8))
+    depth_maps = jax.random.uniform(k4, (T, H, W, 1), minval=0.5, maxval=4.0)
+    return tracks_2d, visible, dino_grid, depth_maps
+
+
+@requires_8
+def test_mesh_tail_matches_single_device():
+    rng = jax.random.PRNGKey(0)
+    tracks_2d, visible, dino_grid, depth_maps = _front_end(rng)
+    model = tiny_model_3d(T, use_dino=True, use_depth=True, dino_feature_dim=8)
+    key = jax.random.PRNGKey(7)
+
+    # Single-device reference through the standard fused tail.
+    ref_pred, ref_batch, ref_tracks3d = _run_single(
+        model, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+
+    mesh = make_mesh(seq=2)
+    tail = make_mesh_tail(
+        mesh, model, N_SUPPORT, N_QUERIES, (H, W), True, True
+    )
+    params = _init_params(model, tracks_2d, visible, dino_grid, depth_maps, key)
+    got_pred, got_batch, got_tracks3d = tail(
+        params, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(got_tracks3d), np.asarray(ref_tracks3d), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_batch["support_tracks"]),
+        np.asarray(ref_batch["support_tracks"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pred.tracks), np.asarray(ref_pred.tracks), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pred.visible_logits),
+        np.asarray(ref_pred.visible_logits),
+        atol=2e-4,
+    )
+
+
+def _init_params(model, tracks_2d, visible, dino_grid, depth_maps, key):
+    from tdspa.data.batch_prep import split_and_sample_queries
+    from tdspa.ops.geometry import (
+        lift_2d_to_3d,
+        sample_depth_features_for_tracks,
+        sample_dino_features_for_tracks,
+    )
+
+    tracks_3d = lift_2d_to_3d(tracks_2d, depth_maps)
+    dino_feats = sample_dino_features_for_tracks(
+        dino_grid, tracks_2d, (T, H, W, 3)
+    )
+    depth_feats = sample_depth_features_for_tracks(depth_maps, tracks_2d)
+    batch = split_and_sample_queries(
+        key, tracks_3d, visible, N_SUPPORT, N_QUERIES, T,
+        dino_features=dino_feats, depth_features=depth_feats,
+    )
+    return jax.jit(model.init)(jax.random.PRNGKey(42), batch)["params"]
+
+
+def _run_single(model, tracks_2d, visible, dino_grid, depth_maps, key):
+    params = _init_params(model, tracks_2d, visible, dino_grid, depth_maps, key)
+    return fused_tail(
+        params, tracks_2d, visible, dino_grid, depth_maps, key,
+        model, N_SUPPORT, N_QUERIES, (H, W), True, True,
+    )
+
+
+@requires_8
+def test_sharded_train_step_no_retrace():
+    """The hoisted pjit retraces once per (shape, keyset), not per step."""
+    from tdspa.train import create_model_state, make_train_step
+    from tdspa.parallel.shardings import shard_batch
+    from tdspa.utils.testing import TINY_3D, synthetic_batch
+
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(rng, batch=8, num_support=8, num_queries=8,
+                            num_frames=T)
+    state, model, tx, sched = create_model_state(
+        rng, batch, model_type="3dspa", warmup_steps=1, total_steps=10,
+        num_output_frames=T, use_dino=False, use_depth=False, **TINY_3D,
+    )
+    mesh = make_mesh(seq=2)
+    step = make_train_step(model, tx, sched, mesh=mesh, donate=False)
+    sharded = shard_batch(mesh, batch)
+    # Pre-place the state replicated (as the train loop does): otherwise the
+    # first call's uncommitted arrays and later calls' NamedSharding outputs
+    # key two separate pjit cache entries.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    for _ in range(3):
+        state, _ = step(state, sharded)
+    assert step.cache_size() == 1, (
+        f"expected exactly one trace, got {step.cache_size()}"
+    )
