@@ -27,8 +27,9 @@ flags.DEFINE_integer("num_output_frames", 150, "Number of output frames")
 flags.DEFINE_bool("use_dino", True, "Use DINO features")
 flags.DEFINE_bool("use_depth", True, "Use depth features")
 flags.DEFINE_list(
-    "depth_scalings", ["median"],
-    "Depth scaling strategies: median, per_trajectory, none",
+    "depth_scalings", ["median", "per_trajectory"],
+    "Depth scaling strategies: median, per_trajectory, none "
+    "(reference default: median,per_trajectory — evaluate_tapvid3d.py:28-36)",
 )
 flags.DEFINE_list(
     "data_sources", ["drivetrack", "adt", "pstudio"], "Data sources to evaluate"

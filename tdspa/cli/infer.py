@@ -23,6 +23,11 @@ flags.DEFINE_integer("num_support_tracks", 2048, "Number of support tracks")
 flags.DEFINE_integer("tracking_grid_size", 64, "Grid size for dense tracking")
 flags.DEFINE_string("dino_model", "facebook/dinov2-base", "DINOv2 model name")
 flags.DEFINE_string("vda_model_path", None, "VideoDepthAnything checkpoint (.pth)")
+flags.DEFINE_bool(
+    "vda_torch_adapter", False,
+    "Run VDA through the external torch repo instead of the native "
+    "Flax converter (needs the Video-Depth-Anything clone on sys.path)",
+)
 flags.DEFINE_string(
     "vda_encoder", "vitb", "VideoDepthAnything encoder: vits, vitb, or vitl"
 )
@@ -60,11 +65,21 @@ def main(argv):
 
     depth_provider = None
     if FLAGS.vda_model_path:
-        from tdspa.features.depth import TorchVDAProvider
+        if FLAGS.vda_torch_adapter:
+            from tdspa.features.depth import TorchVDAProvider
 
-        depth_provider = TorchVDAProvider(
-            encoder=FLAGS.vda_encoder, model_path=FLAGS.vda_model_path
-        )
+            depth_provider = TorchVDAProvider(
+                encoder=FLAGS.vda_encoder, model_path=FLAGS.vda_model_path
+            )
+        else:
+            # Native path: convert the .pth into the Flax DPT estimator and
+            # run depth on TPU (temporal motion modules not converted — see
+            # tdspa/features/depth.py docstring).
+            from tdspa.features.depth import VideoDepthEstimator
+
+            depth_provider = VideoDepthEstimator.from_checkpoint(
+                FLAGS.vda_model_path, encoder=FLAGS.vda_encoder
+            )
 
     pipeline = InferencePipeline(
         checkpoint_path=FLAGS.checkpoint_path,

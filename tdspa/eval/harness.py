@@ -115,10 +115,14 @@ def evaluate_batch(
     gt_occluded = np.transpose(
         np.logical_not(np.asarray(batch["query_tracks_visible"][0, :, :, 0])), (1, 0)
     )
-    if "intrinsics" in batch:
-        intrinsics = np.asarray(batch["intrinsics"][0])
-    else:
-        intrinsics = np.array([256.0, 256.0, 128.0, 128.0])
+    if "intrinsics" not in batch:
+        raise ValueError(
+            "evaluate_batch: batch has no 'intrinsics' (fx, fy, cx, cy). "
+            "TAPVid-3D metrics project 3D tracks through the camera; "
+            "fabricating intrinsics silently corrupts every pixel-threshold "
+            "metric, so they are required."
+        )
+    intrinsics = np.asarray(batch["intrinsics"][0])
 
     metrics = compute_tapvid3d_metrics(
         gt_occluded=gt_occluded,
@@ -165,9 +169,11 @@ def build_eval_batch(example, num_output_frames: int = 150, track_bucket: int = 
         "query_tracks_visible": jnp.asarray(visible_p[np.newaxis]),
         "boundary_frame": jnp.asarray([t_used]),
     }
-    if "intrinsics" in example:
+    intr = (example["intrinsics"] if "intrinsics" in example
+            else example["fx_fy_cx_cy"] if "fx_fy_cx_cy" in example else None)
+    if intr is not None:
         batch["intrinsics"] = jnp.asarray(
-            np.asarray(example["intrinsics"], np.float32)[np.newaxis]
+            np.asarray(intr, np.float32)[np.newaxis]
         )
     meta = {"num_tracks": n, "num_frames": t_used, "queries_xyt": queries_xyt}
     return batch, meta
@@ -179,11 +185,18 @@ def evaluate_video(
     num_output_frames: int = 150,
     use_dino: bool = True,
     use_depth: bool = True,
-    depth_scalings=("median",),
+    depth_scalings=("median", "per_trajectory"),
     track_bucket: int = 256,
     model=None,
 ):
     """Per-video metrics dict {scaling: metrics} with zero-fallback."""
+    if "intrinsics" not in example and "fx_fy_cx_cy" not in example:
+        raise ValueError(
+            "evaluate_video: example has no intrinsics ('intrinsics' or "
+            "'fx_fy_cx_cy'). TAPVid-3D npz files carry fx_fy_cx_cy "
+            "(reference evaluate_tapvid3d.py:322-327); refusing to fabricate "
+            "camera parameters."
+        )
     batch, meta = build_eval_batch(example, num_output_frames, track_bucket)
     forward = _jitted_forward(num_output_frames, use_dino, use_depth, model)
     predictions = forward(params, batch)
@@ -199,7 +212,8 @@ def evaluate_video(
         vis = vis[..., 0]
     gt_occluded = np.transpose(~vis[:, :t].astype(bool), (1, 0))
     intrinsics = np.asarray(
-        example.get("intrinsics", np.array([256.0, 256.0, 128.0, 128.0]))
+        example["intrinsics"] if "intrinsics" in example
+        else example["fx_fy_cx_cy"]
     )
 
     video_metrics = {}
@@ -242,7 +256,7 @@ def evaluate_model(
     num_output_frames: int = 150,
     use_dino: bool = True,
     use_depth: bool = True,
-    depth_scalings=("median",),
+    depth_scalings=("median", "per_trajectory"),
     track_bucket: int = 256,
     model=None,
 ) -> dict:

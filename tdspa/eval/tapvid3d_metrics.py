@@ -25,6 +25,18 @@ extension of the TAPVid Jaccard metrics):
 
 Metric keys match the reference's fallback dict exactly
 (evaluate_tapvid3d.py:216-231).
+
+Parity notes vs tapnet (which is not importable in this environment, so the
+vendored math is pinned by the hand-computed cases in
+tests/unit/test_metrics.py instead of a direct diff). Two definitional
+choices could differ from tapnet's exact code and are called out here so a
+future side-by-side diff is one grep away:
+* the depth-adaptive threshold uses the arithmetic focal mean (fx+fy)/2
+  (a geometric mean sqrt(fx*fy) is equally defensible; identical when
+  fx == fy, which holds for all three TAPVid-3D sources);
+* median/per_trajectory scaling matches medians of 3D norms over
+  gt-visible points (a z-only median is equivalent for monocular global
+  scale ambiguity, where x,y,z scale together).
 """
 
 from __future__ import annotations

@@ -15,11 +15,17 @@ a provider interface with a native implementation:
 * ``ConstantDepthProvider`` — unit depth (the reference's no-depth fallback
   lifts with z=1, inference.py:545-546).
 
-Weight conversion from the released ``video_depth_anything_*.pth`` requires
-the checkpoint and the torch reference for name-mapping validation (neither
-is available in this environment); until then the Flax estimator runs with
-converted DINOv2 encoder weights (when cached) or random init, and the
-``TorchVDAProvider`` adapter carries the trained-weights path.
+Weight conversion from the released ``video_depth_anything_*.pth`` is
+``convert_vda_params``: the checkpoint stores a torch-hub-style DINOv2
+backbone under ``pretrained.*`` (fused qkv, ``ls{1,2}.gamma`` layerscale)
+plus the Depth-Anything-V2 DPT head under ``head.*``; both map onto the Flax
+modules here, with torch semantics (align-corners bilinear resizes, explicit
+fusion target sizes, final-layernorm-applied taps) reproduced exactly —
+validated against a random-init torch oracle in tests/unit/test_vda_convert.py.
+VDA's AnimateDiff-style temporal motion modules (``head.motion_modules.*``)
+are NOT yet converted — those keys are reported and dropped, and converted
+checkpoints run with ``use_temporal=False`` (per-frame DA-V2-equivalent
+depth); the ``TorchVDAProvider`` adapter remains the full-temporal route.
 """
 
 from __future__ import annotations
@@ -45,6 +51,37 @@ VDA_MODEL_CONFIGS = {
 }
 
 
+def _resize_align_corners(x, out_hw):
+    """Bilinear resize matching torch ``F.interpolate(align_corners=True)``.
+
+    ``jax.image.resize`` uses half-pixel centers (align_corners=False), which
+    diverges from the DPT head's resizes; trained VDA weights need the torch
+    semantics. x: [B H W C] -> [B oh ow C].
+    """
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+
+    def axis(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            pos = jnp.zeros((out_size,), jnp.float32)
+        else:
+            pos = jnp.arange(out_size, dtype=jnp.float32) * (
+                (in_size - 1) / (out_size - 1)
+            )
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        return lo, hi, (pos - lo).astype(x.dtype)
+
+    ylo, yhi, yf = axis(h, oh)
+    xlo, xhi, xf = axis(w, ow)
+    rows_lo = jnp.take(x, ylo, axis=1)
+    rows = rows_lo + (jnp.take(x, yhi, axis=1) - rows_lo) * yf[None, :, None, None]
+    cols_lo = jnp.take(rows, xlo, axis=2)
+    return cols_lo + (jnp.take(rows, xhi, axis=2) - cols_lo) * xf[None, None, :, None]
+
+
 class _ResidualConvUnit(nn.Module):
     features: int
     dtype: Any = jnp.float32
@@ -63,12 +100,12 @@ class _FusionBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, skip=None, out_hw=None):
         if skip is not None:
             x = x + _ResidualConvUnit(self.features, self.dtype, name="rcu1")(skip)
         x = _ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        x = _resize_align_corners(x, out_hw if out_hw is not None else (h * 2, w * 2))
         return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="project")(x)
 
 
@@ -131,24 +168,25 @@ class DPTHead(nn.Module):
             )(x)
             resized.append(x)
 
-        path = _FusionBlock(self.features, self.dtype, name="fusion_3")(resized[3])
+        path = _FusionBlock(self.features, self.dtype, name="fusion_3")(
+            resized[3], out_hw=resized[2].shape[1:3]
+        )
         if self.use_temporal:
             path = _TemporalAttention(self.features, dtype=self.dtype,
                                       name="temporal_3")(path)
         path = _FusionBlock(self.features, self.dtype, name="fusion_2")(
-            path[:, : resized[2].shape[1], : resized[2].shape[2]], resized[2]
+            path, resized[2], out_hw=resized[1].shape[1:3]
         )
         path = _FusionBlock(self.features, self.dtype, name="fusion_1")(
-            path[:, : resized[1].shape[1], : resized[1].shape[2]], resized[1]
+            path, resized[1], out_hw=resized[0].shape[1:3]
         )
         path = _FusionBlock(self.features, self.dtype, name="fusion_0")(
-            path[:, : resized[0].shape[1], : resized[0].shape[2]], resized[0]
+            path, resized[0]
         )
 
         h = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                     name="head_conv1")(path)
-        t, hh, ww, c = h.shape
-        h = jax.image.resize(h, (t, out_hw[0], out_hw[1], c), method="bilinear")
+        h = _resize_align_corners(h, out_hw)
         h = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="head_conv2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(h)
@@ -165,10 +203,14 @@ class VideoDepthEstimator:
         use_temporal: bool = True,
         dtype=jnp.bfloat16,
         frame_chunk: int = 8,
+        vit_config: ViTConfig | None = None,
+        head_cfg: dict | None = None,
     ):
-        cfg = VDA_MODEL_CONFIGS[encoder]
+        cfg = dict(VDA_MODEL_CONFIGS[encoder])
+        if head_cfg:
+            cfg.update(head_cfg)
         self.cfg = cfg
-        self.vit_config = ViTConfig.preset(encoder)
+        self.vit_config = vit_config or ViTConfig.preset(encoder)
         self.backbone = Dinov2Flax(config=self.vit_config, dtype=dtype)
         self.head = DPTHead(
             features=cfg["features"],
@@ -179,6 +221,24 @@ class VideoDepthEstimator:
         self.layer_idxs = tuple(cfg["layer_idxs"])
         self.frame_chunk = frame_chunk
         self.params = params
+
+    @classmethod
+    def from_checkpoint(cls, path: str, encoder: str = "vitb", **kwargs):
+        """Load a released ``video_depth_anything_*.pth`` natively.
+
+        Temporal motion modules are not converted (see module docstring), so
+        the estimator runs per-frame (``use_temporal=False``).
+        """
+        import torch
+
+        state_dict = torch.load(path, map_location="cpu", weights_only=True)
+        est = cls(encoder=encoder, use_temporal=False, **kwargs)
+        est.params = convert_vda_params(
+            state_dict, encoder=encoder,
+            vit_config=kwargs.get("vit_config"),
+            head_cfg=kwargs.get("head_cfg"),
+        )
+        return est
 
     def init_params(self, rng, sample_hw=(126, 126)):
         h, w = sample_hw
@@ -191,7 +251,12 @@ class VideoDepthEstimator:
         return self.params
 
     def _taps(self, backbone_params, frames):
-        """Intermediate token maps at the tapped layers (CLS dropped)."""
+        """Tapped-layer token maps, final-layernormed, CLS dropped.
+
+        DINOv2's ``get_intermediate_layers`` (which Depth-Anything/VDA use)
+        applies the backbone's final LayerNorm to every tap (norm=True
+        default) — reproduced here with the same params/eps.
+        """
         _, state = self.backbone.apply(
             {"params": backbone_params},
             frames,
@@ -202,9 +267,15 @@ class VideoDepthEstimator:
             mutable=["intermediates"],
         )
         inter = state["intermediates"]
+        ln = backbone_params["layernorm"]
+        eps = self.vit_config.layer_norm_eps
         taps = []
         for idx in self.layer_idxs:
-            tokens = inter[f"layer_{idx}"]["__call__"][0]
+            tokens = inter[f"layer_{idx}"]["__call__"][0].astype(jnp.float32)
+            mu = tokens.mean(-1, keepdims=True)
+            var = jnp.square(tokens - mu).mean(-1, keepdims=True)
+            tokens = (tokens - mu) * jax.lax.rsqrt(var + eps)
+            tokens = tokens * ln["scale"] + ln["bias"]
             taps.append(tokens[:, 1:])  # drop CLS
         return taps
 
@@ -315,6 +386,139 @@ class TorchVDAProvider:
             device=device, fp32=False,
         )
         return depths[..., np.newaxis].astype(np.float32)
+
+
+def convert_vda_params(state_dict, encoder: str = "vitb",
+                       vit_config: ViTConfig | None = None,
+                       head_cfg: dict | None = None) -> dict:
+    """``video_depth_anything_*.pth`` torch state_dict -> Flax params.
+
+    Maps the torch-hub DINOv2 backbone (``pretrained.*``: fused qkv,
+    ``ls{1,2}.gamma`` layerscale) onto ``Dinov2Flax`` and the
+    Depth-Anything-V2 DPT head (``head.*``) onto ``DPTHead``. Returns
+    ``{"backbone": ..., "head": ...}`` for ``VideoDepthEstimator``.
+    Unconverted keys (temporal ``head.motion_modules.*``, ``mask_token``,
+    the parameter-only ``refinenet4.resConfUnit1``) are logged and dropped.
+    """
+    import numpy as np
+
+    cfg = dict(VDA_MODEL_CONFIGS[encoder])
+    if head_cfg:
+        cfg.update(head_cfg)
+    vit = vit_config or ViTConfig.preset(encoder)
+
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy()) if hasattr(v, "detach")
+        else np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    used = set()
+
+    def t(name):
+        used.add(name)
+        return sd[name]
+
+    def norm(name):
+        return {"scale": t(f"{name}.weight"), "bias": t(f"{name}.bias")}
+
+    def dense(name):
+        return {"kernel": t(f"{name}.weight").T, "bias": t(f"{name}.bias")}
+
+    def conv(name):
+        # torch conv [out,in,kh,kw] -> flax [kh,kw,in,out]
+        return {"kernel": t(f"{name}.weight").transpose(2, 3, 1, 0),
+                "bias": t(f"{name}.bias")}
+
+    def conv_nobias(name):
+        return {"kernel": t(f"{name}.weight").transpose(2, 3, 1, 0)}
+
+    def deconv(name):
+        # torch ConvTranspose2d [in,out,kh,kw]; flax nn.ConvTranspose
+        # (transpose_kernel=False) correlates with the kernel, so the torch
+        # weights must be spatially flipped: out[si+c] += x[i]*W[...,c] in
+        # torch vs x[i]*K[k-1-c,...] in flax.
+        w = t(f"{name}.weight").transpose(2, 3, 0, 1)[::-1, ::-1]
+        return {"kernel": np.ascontiguousarray(w), "bias": t(f"{name}.bias")}
+
+    d, h = vit.hidden_size, vit.num_heads
+    hd = d // h
+    backbone: dict = {
+        "cls_token": t("pretrained.cls_token"),
+        "pos_embed": t("pretrained.pos_embed"),
+        "patch_embed": {
+            "kernel": t("pretrained.patch_embed.proj.weight").transpose(2, 3, 1, 0),
+            "bias": t("pretrained.patch_embed.proj.bias"),
+        },
+        "layernorm": norm("pretrained.norm"),
+    }
+    for i in range(vit.num_layers):
+        pre = f"pretrained.blocks.{i}"
+        qkv_w = t(f"{pre}.attn.qkv.weight")  # [3d, d] rows = [q; k; v]
+        qkv_b = t(f"{pre}.attn.qkv.bias")
+
+        def split(j):
+            return {
+                "kernel": qkv_w[j * d:(j + 1) * d].T.reshape(d, h, hd),
+                "bias": qkv_b[j * d:(j + 1) * d].reshape(h, hd),
+            }
+
+        backbone[f"layer_{i}"] = {
+            "norm1": norm(f"{pre}.norm1"),
+            "norm2": norm(f"{pre}.norm2"),
+            "attention": {
+                "query": split(0),
+                "key": split(1),
+                "value": split(2),
+                "output": {
+                    "kernel": t(f"{pre}.attn.proj.weight").T.reshape(h, hd, d),
+                    "bias": t(f"{pre}.attn.proj.bias"),
+                },
+            },
+            "layer_scale1": t(f"{pre}.ls1.gamma"),
+            "layer_scale2": t(f"{pre}.ls2.gamma"),
+            "fc1": dense(f"{pre}.mlp.fc1"),
+            "fc2": dense(f"{pre}.mlp.fc2"),
+        }
+
+    def rcu(name):
+        return {"conv1": conv(f"{name}.conv1"), "conv2": conv(f"{name}.conv2")}
+
+    head: dict = {}
+    for i in range(4):
+        head[f"project_{i}"] = conv(f"head.projects.{i}")
+        head[f"scratch_{i}"] = conv_nobias(f"head.scratch.layer{i + 1}_rn")
+    head["resize_0"] = deconv("head.resize_layers.0")
+    head["resize_1"] = deconv("head.resize_layers.1")
+    head["resize_3"] = conv("head.resize_layers.3")
+    # refinenet4..1 fuse top-down; refinenet4 takes no skip, so its
+    # resConfUnit1 params exist in the checkpoint but are dead — consume them.
+    for flax_name, torch_name, has_skip in [
+        ("fusion_3", "refinenet4", False),
+        ("fusion_2", "refinenet3", True),
+        ("fusion_1", "refinenet2", True),
+        ("fusion_0", "refinenet1", True),
+    ]:
+        pre = f"head.scratch.{torch_name}"
+        block = {"rcu2": rcu(f"{pre}.resConfUnit2"),
+                 "project": conv(f"{pre}.out_conv")}
+        dead_or_live = rcu(f"{pre}.resConfUnit1")
+        if has_skip:
+            block["rcu1"] = dead_or_live
+        head[flax_name] = block
+    head["head_conv1"] = conv("head.scratch.output_conv1")
+    head["head_conv2"] = conv("head.scratch.output_conv2.0")
+    head["head_conv3"] = conv("head.scratch.output_conv2.2")
+
+    unmapped = sorted(set(sd) - used)
+    if unmapped:
+        motion = [k for k in unmapped if ".motion_modules." in k]
+        other = [k for k in unmapped if ".motion_modules." not in k]
+        logging.warning(
+            "convert_vda_params: %d keys not converted (%d temporal "
+            "motion-module keys, dropped by design; others: %s)",
+            len(unmapped), len(motion), other[:8],
+        )
+    return {"backbone": backbone, "head": head}
 
 
 def extract_depth_features(
