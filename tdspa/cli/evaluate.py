@@ -36,6 +36,11 @@ flags.DEFINE_list(
 )
 flags.DEFINE_bool("use_minival", True, "Use minival split (otherwise full_eval)")
 flags.DEFINE_integer("track_bucket", 256, "Pad track counts to this multiple")
+flags.DEFINE_enum(
+    "projection_policy", "error", ["error", "slice", "ignore"],
+    "Handling of reference-layout square dino/depth projection kernels in "
+    "the checkpoint (see tdspa.infer.checkpoint.adapt_reference_projections)",
+)
 
 
 def _split_files(source: str) -> list | None:
@@ -62,7 +67,9 @@ def main(argv):
     from tdspa.infer.checkpoint import load_checkpoint
 
     logging.info("Loading checkpoint from %s", FLAGS.checkpoint_path)
-    params = load_checkpoint(FLAGS.checkpoint_path)
+    params = load_checkpoint(
+        FLAGS.checkpoint_path, projection_policy=FLAGS.projection_policy
+    )
 
     all_metrics = {}
     for source in FLAGS.data_sources:

@@ -23,6 +23,11 @@ flags.DEFINE_integer("num_support_tracks", 2048, "Number of support tracks")
 flags.DEFINE_integer("tracking_grid_size", 64, "Grid size for dense tracking")
 flags.DEFINE_string("dino_model", "facebook/dinov2-base", "DINOv2 model name")
 flags.DEFINE_string("vda_model_path", None, "VideoDepthAnything checkpoint (.pth)")
+flags.DEFINE_enum(
+    "projection_policy", "error", ["error", "slice", "ignore"],
+    "Handling of reference-layout square dino/depth projection kernels in "
+    "the checkpoint (see tdspa.infer.checkpoint.adapt_reference_projections)",
+)
 flags.DEFINE_bool(
     "vda_torch_adapter", False,
     "Run VDA through the external torch repo instead of the native "
@@ -94,6 +99,7 @@ def main(argv):
         track_provider=_build_track_provider(),
         depth_provider=depth_provider,
         seed=FLAGS.seed,
+        projection_policy=FLAGS.projection_policy,
     )
     results = pipeline.run(FLAGS.video_path)
     save_results(results, FLAGS.output_dir)

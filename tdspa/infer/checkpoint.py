@@ -64,13 +64,17 @@ def _load_npz(checkpoint_path: str):
     return unflatten_params({k: np.array(data[k]) for k in data.files})
 
 
-def load_checkpoint(checkpoint_path: str, model=None) -> Any:
+def load_checkpoint(checkpoint_path: str, model=None,
+                    projection_policy: str = "error") -> Any:
     """Load model params from any reference-supported checkpoint layout.
 
     Args:
       checkpoint_path: ``.npz`` file or Flax/Orbax checkpoint directory.
       model: unused; accepted for reference CLI-signature compatibility
         (inference.py:464).
+      projection_policy: how to handle reference-layout feature projections
+        (see ``adapt_reference_projections``): ``'error'`` (default) raises
+        an actionable message, ``'slice'`` adapts, ``'ignore'`` loads as-is.
 
     Returns:
       Nested dict of parameters.
@@ -81,18 +85,107 @@ def load_checkpoint(checkpoint_path: str, model=None) -> Any:
         raise FileNotFoundError(f"Checkpoint not found: {checkpoint_path}")
 
     if checkpoint_path.endswith(".npz"):
-        return _load_npz(checkpoint_path)
+        params = _load_npz(checkpoint_path)
+    else:
+        state_dict = _restore_dir(checkpoint_path)
+        if state_dict is None:
+            raise ValueError(
+                f"Checkpoint at {checkpoint_path} is empty or invalid"
+            )
+        params = state_dict
+        if isinstance(state_dict, dict):
+            if "params" in state_dict:
+                params = state_dict["params"]
+            elif "optimizer" in state_dict and isinstance(
+                state_dict["optimizer"], dict
+            ) and "target" in state_dict["optimizer"]:
+                params = state_dict["optimizer"]["target"]
+    if projection_policy != "ignore" and isinstance(params, dict):
+        params = adapt_reference_projections(params, policy=projection_policy)
+    return params
 
-    state_dict = _restore_dir(checkpoint_path)
-    if state_dict is None:
-        raise ValueError(f"Checkpoint at {checkpoint_path} is empty or invalid")
-    if isinstance(state_dict, dict):
-        if "params" in state_dict:
-            return state_dict["params"]
-        if "optimizer" in state_dict and isinstance(state_dict["optimizer"], dict):
-            if "target" in state_dict["optimizer"]:
-                return state_dict["optimizer"]["target"]
-    return state_dict
+
+_PROJECTION_NAMES = ("dino_projection", "depth_projection")
+
+
+def adapt_reference_projections(params: dict, track_token_dim: int = 384,
+                                policy: str = "error") -> dict:
+    """Handle reference-declared square feature-projection kernels.
+
+    The reference declares ``dino_projection = Dense(768)`` and
+    ``depth_projection = Dense(256)`` (track_autoencoder_3d.py:76-79) whose
+    outputs cannot be residual-added to ``track_token_dim``-wide track tokens
+    — that code path crashes, so such kernels were never functional. The
+    rebuild projects to ``track_token_dim`` (tdspa/models/spa3d.py). If a
+    released checkpoint nevertheless carries the square [768,768]/[256,256]
+    kernels, this adapter detects them and either:
+
+    * ``policy='slice'``: makes the stored linear map shape-consistent —
+      output channels beyond ``track_token_dim`` are cut (dino, 768→384) and
+      missing ones zero-padded (depth, 256→384; zero channels add nothing to
+      the residual), logging exactly what changed; or
+    * ``policy='error'``: raises with the offending paths/shapes and the fix.
+    """
+    if policy not in ("slice", "error"):
+        raise ValueError(f"Unknown projection_policy: {policy!r}")
+
+    hits: list[tuple[str, dict]] = []
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        for key, value in node.items():
+            sub = f"{path}/{key}" if path else str(key)
+            if key in _PROJECTION_NAMES and isinstance(value, dict):
+                kernel = value.get("kernel")
+                if (
+                    kernel is not None
+                    and getattr(kernel, "ndim", 0) == 2
+                    and kernel.shape[1] != track_token_dim
+                    and kernel.shape[0] == kernel.shape[1]
+                ):
+                    hits.append((sub, value))
+            else:
+                walk(value, sub)
+
+    walk(params, "")
+    if not hits:
+        return params
+    if policy == "error":
+        detail = ", ".join(
+            f"{p} kernel{tuple(np.asarray(v['kernel']).shape)}" for p, v in hits
+        )
+        raise ValueError(
+            "Checkpoint carries reference-layout square feature-projection "
+            f"kernels that cannot be residual-added to {track_token_dim}-wide "
+            f"track tokens: {detail}. These weights were never functional in "
+            "the reference (its projection add crashes — see docs/PARITY.md). "
+            "Re-load with projection_policy='slice' (CLI: "
+            "--projection_policy=slice) to keep the first "
+            f"{track_token_dim} output channels, or 'ignore' to load as-is."
+        )
+    for path, value in hits:
+        kernel = np.asarray(value["kernel"])
+        width = kernel.shape[1]
+        verb = "Slicing" if width > track_token_dim else "Zero-padding"
+        logging.warning(
+            "%s reference projection %s: kernel %s -> (%d, %d)%s",
+            verb, path, kernel.shape, kernel.shape[0], track_token_dim,
+            "" if "bias" not in value else " (bias adjusted to match)",
+        )
+        if width > track_token_dim:
+            value["kernel"] = kernel[:, :track_token_dim]
+        else:
+            value["kernel"] = np.pad(
+                kernel, ((0, 0), (0, track_token_dim - width))
+            )
+        if "bias" in value:
+            bias = np.asarray(value["bias"])
+            value["bias"] = (
+                bias[:track_token_dim] if bias.shape[0] > track_token_dim
+                else np.pad(bias, (0, track_token_dim - bias.shape[0]))
+            )
+    return params
 
 
 def _restore_dir(path: str):

@@ -201,6 +201,7 @@ class InferencePipeline:
         dtype=jnp.bfloat16,
         mesh=None,
         upload_chunk_frames: int = 40,
+        projection_policy: str = "error",
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -234,6 +235,7 @@ class InferencePipeline:
         self._depth_provider = depth_provider
         self.params = params
         self.checkpoint_path = checkpoint_path
+        self.projection_policy = projection_policy
         self.timings: dict[str, float] = {}
 
     # Lazy front-ends (each may pull weights / build jit programs).
@@ -273,7 +275,10 @@ class InferencePipeline:
         if self.params is not None:
             params = self.params
         elif self.checkpoint_path:
-            params = load_checkpoint(self.checkpoint_path, self.model)
+            params = load_checkpoint(
+                self.checkpoint_path, self.model,
+                projection_policy=self.projection_policy,
+            )
         else:
             logging.warning("No checkpoint given; using randomly initialized params")
             self.params = init_params

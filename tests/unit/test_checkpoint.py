@@ -78,3 +78,45 @@ def test_orbax_roundtrip(tmp_path):
     restored = ckptr.restore(template=tree)
     _assert_tree_equal(restored["params"], PARAMS)
     assert int(restored["step"]) == 7
+
+
+def _reference_layout_params():
+    """A tree carrying the reference's square projection kernels
+    (track_autoencoder_3d.py:76-79: Dense(768)/Dense(256) — never functional,
+    see adapt_reference_projections)."""
+    return {
+        "dino_projection": {"kernel": np.ones((768, 768), np.float32),
+                            "bias": np.zeros(768, np.float32)},
+        "depth_projection": {"kernel": np.ones((256, 256), np.float32),
+                             "bias": np.zeros(256, np.float32)},
+        "other": {"kernel": np.ones((4, 4), np.float32)},
+    }
+
+
+def test_reference_projection_layout_errors_actionably(tmp_path):
+    path = str(tmp_path / "ref_layout.npz")
+    save_checkpoint_npz(path, _reference_layout_params())
+    with pytest.raises(ValueError, match="projection_policy='slice'"):
+        load_checkpoint(path)
+
+
+def test_reference_projection_layout_slices(tmp_path):
+    path = str(tmp_path / "ref_layout.npz")
+    save_checkpoint_npz(path, _reference_layout_params())
+    params = load_checkpoint(path, projection_policy="slice")
+    assert params["dino_projection"]["kernel"].shape == (768, 384)
+    assert params["dino_projection"]["bias"].shape == (384,)
+    assert params["depth_projection"]["kernel"].shape == (256, 384)
+    # Unrelated square kernels untouched.
+    assert params["other"]["kernel"].shape == (4, 4)
+
+
+def test_rebuild_projection_layout_passes_untouched(tmp_path):
+    path = str(tmp_path / "native_layout.npz")
+    native = {
+        "dino_projection": {"kernel": np.ones((768, 384), np.float32),
+                            "bias": np.zeros(384, np.float32)},
+    }
+    save_checkpoint_npz(path, native)
+    params = load_checkpoint(path)  # policy=error must not trip
+    assert params["dino_projection"]["kernel"].shape == (768, 384)
