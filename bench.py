@@ -119,7 +119,7 @@ def main_e2e():
         num_query_points=512,
         num_support_tracks=2048,
         tracking_grid_size=64,
-        track_provider=PyramidalLKTracker(grid_size=64),
+        track_provider=PyramidalLKTracker(grid_size=64, fb_threshold=-1.0),
         depth_provider=VideoDepthEstimator(encoder="vitb"),
     )
     pipeline.run_on_frames(video)  # warmup: weights + compiles

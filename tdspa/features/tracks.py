@@ -10,9 +10,10 @@ The model contract only needs ``{'tracks': [N T 2], 'visible': [N T 1]}``
   once on a GPU box, run the TPU pipeline anywhere).
 * ``PyramidalLKTracker`` — a pure-JAX coarse-to-fine Lucas-Kanade tracker
   (tdspa.ops.lk) that runs ON the TPU: no torch dependency, keeps the
-  end-to-end pipeline self-contained. Quality is below CoTracker3 (no
-  occlusion reasoning beyond forward-backward checks) but it is a real
-  tracker, not a stub.
+  end-to-end pipeline self-contained. Occlusion reasoning = forward-backward
+  consistency + window-NCC appearance checks (quantified against synthetic
+  ground truth in tests/unit/test_tracking_quality.py); quality remains
+  below CoTracker3's learned matching, but it is a real tracker, not a stub.
 * ``StaticGridProvider`` — grid positions held constant; the degenerate
   fallback for smoke tests.
 """
@@ -84,6 +85,8 @@ class PyramidalLKTracker:
         window: int = 7,
         iterations: int = 4,
         fb_threshold: float = 2.0,
+        ncc_threshold: float = 0.5,
+        template_ncc_threshold: float = 0.3,
         device: str = "auto",  # 'auto' | 'pallas' | 'cpu' | 'default'
     ):
         self.grid_size = grid_size
@@ -91,6 +94,8 @@ class PyramidalLKTracker:
         self.window = window
         self.iterations = iterations
         self.fb_threshold = fb_threshold
+        self.ncc_threshold = ncc_threshold
+        self.template_ncc_threshold = template_ncc_threshold
         self.device = device
 
     def backend_for(self, video_shape) -> str:
@@ -124,6 +129,8 @@ class PyramidalLKTracker:
             window=self.window,
             iterations=self.iterations,
             fb_threshold=self.fb_threshold,
+            ncc_threshold=self.ncc_threshold,
+            template_ncc_threshold=self.template_ncc_threshold,
         )
         if backend == "pallas":
             from tdspa.kernels.lk import track_video_lk_pallas
@@ -161,6 +168,7 @@ class PyramidalLKTracker:
         import jax.numpy as jnp
 
         from tdspa.kernels.lk import track_video_lk_pallas
+        from tdspa.ops.lk import _to_gray
 
         h, w = chunks[0].shape[1], chunks[0].shape[2]
         kwargs = dict(
@@ -168,9 +176,16 @@ class PyramidalLKTracker:
             window=self.window,
             iterations=self.iterations,
             fb_threshold=self.fb_threshold,
+            ncc_threshold=self.ncc_threshold,
+            template_ncc_threshold=self.template_ncc_threshold,
             interpret=interpret,
         )
-        pos = jnp.asarray(make_query_grid(h, w, self.grid_size))
+        queries = jnp.asarray(make_query_grid(h, w, self.grid_size))
+        pos = queries
+        # The persistent appearance template is the ORIGINAL first frame at
+        # the original query positions for every chunk — identical to the
+        # single-call path's template.
+        template_frame = _to_gray(chunks[0][:1])[0]
         prev_last = None
         all_tracks, all_vis = [], []
         for c in chunks:
@@ -179,7 +194,10 @@ class PyramidalLKTracker:
                 if prev_last is None
                 else jnp.concatenate([prev_last[jnp.newaxis], c], axis=0)
             )
-            tr, vi = track_video_lk_pallas(seg, pos, **kwargs)  # [N Ts 2]
+            tr, vi = track_video_lk_pallas(
+                seg, pos, template_frame=template_frame,
+                template_pos=queries, **kwargs,
+            )  # [N Ts 2]
             if prev_last is not None:
                 tr, vi = tr[:, 1:], vi[:, 1:]
             all_tracks.append(tr)

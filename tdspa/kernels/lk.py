@@ -204,17 +204,21 @@ def _track_group_one_dir(i0_refs, i1_refs, shapes, masks, xy, window,
 
 def _lk_pair_kernel(
     queries_ref,  # [N, 2] f32
-    *refs,  # 2L frame refs + (tracks, vis) outputs + pos scratch
+    template_pos_ref,  # [N, 2] f32 — positions for the persistent template
+    *refs,  # tmpl frame + 2L frame refs + (tracks, vis) outputs + pos scratch
     num_levels: int,
     window: int,
     iterations: int,
     fb_threshold: float,
+    ncc_threshold: float,
+    template_ncc_threshold: float,
     shapes: tuple,
     narrow: bool,
 ):
-    level_refs = refs[: 2 * num_levels]
-    tracks_ref, vis_ref = refs[2 * num_levels : 2 * num_levels + 2]
-    pos_ref = refs[2 * num_levels + 2]
+    tmpl_ref = refs[0]  # finest-level template frame (persistent, index 0)
+    level_refs = refs[1 : 1 + 2 * num_levels]
+    tracks_ref, vis_ref = refs[1 + 2 * num_levels : 3 + 2 * num_levels]
+    pos_ref = refs[3 + 2 * num_levels]
 
     i0_refs = [level_refs[2 * l] for l in range(num_levels)]
     i1_refs = [level_refs[2 * l + 1] for l in range(num_levels)]
@@ -241,18 +245,62 @@ def _lk_pair_kernel(
         fwd, min_eig = _track_group_one_dir(
             i0_refs, i1_refs, shapes, masks, grp, window, iterations, narrow
         )
-        bwd, _ = _track_group_one_dir(
-            i1_refs, i0_refs, shapes, masks, fwd, window, iterations, narrow
-        )
-        fb_err = jnp.sqrt(
-            jnp.sum((bwd - grp) ** 2, axis=1, keepdims=True)
-        )  # [8, 1]
         nx = fwd[:, 0:1]
         ny = fwd[:, 1:2]
         in_bounds = (
             (nx >= 0) & (nx <= width - 1) & (ny >= 0) & (ny <= height - 1)
         )
-        visible = (fb_err < fb_threshold) & in_bounds & (min_eig > 1e-6)
+        visible = in_bounds & (min_eig > 1e-6)
+        if fb_threshold > -1.0:
+            # Skippable (fb_threshold <= -1): halves kernel cost; see
+            # ops/lk.py and the tracking-quality benchmark.
+            bwd, _ = _track_group_one_dir(
+                i1_refs, i0_refs, shapes, masks, fwd, window, iterations,
+                narrow,
+            )
+            fb_err = jnp.sqrt(
+                jnp.sum((bwd - grp) ** 2, axis=1, keepdims=True)
+            )  # [8, 1]
+            visible &= fb_err < fb_threshold
+        if ncc_threshold > -1.0 or template_ncc_threshold > -1.0:
+            # Occlusion reasoning: NCC of the tracked window vs (a) the
+            # previous frame and (b) the persistent template frame (same
+            # math as ops/lk, on stacked strips).
+            select = _select_matrix()
+            expand = _expand_matrix()
+            mask0 = masks[0]
+            k_count = float(window * window)
+
+            def centered(win):
+                win = win * mask0
+                mean = _strip_sums(win, select) / k_count
+                return (win - _expand8(mean, expand)) * mask0
+
+            def ncc_of(am, bm):
+                cov = _strip_sums(am * bm, select)  # [8, 1]
+                var = _strip_sums(am * am, select) * _strip_sums(bm * bm, select)
+                return cov / (jnp.sqrt(var) + 1e-6)
+
+            samp1 = functools.partial(
+                _sample_group, i1_refs[0], window=window,
+                height=height, width=width, narrow=narrow,
+            )
+            bm = centered(samp1(nx, ny))
+            if ncc_threshold > -1.0:
+                samp0 = functools.partial(
+                    _sample_group, i0_refs[0], window=window,
+                    height=height, width=width, narrow=narrow,
+                )
+                am = centered(samp0(grp[:, 0:1], grp[:, 1:2]))
+                visible &= ncc_of(am, bm) > ncc_threshold
+            if template_ncc_threshold > -1.0:
+                tq = template_pos_ref[pl.ds(base, 8), :]  # [8, 2]
+                samp_t = functools.partial(
+                    _sample_group, tmpl_ref, window=window,
+                    height=height, width=width, narrow=narrow,
+                )
+                tm = centered(samp_t(tq[:, 0:1], tq[:, 1:2]))
+                visible &= ncc_of(tm, bm) > template_ncc_threshold
         new_pos = jnp.concatenate(
             [jnp.clip(nx, 0, width - 1), jnp.clip(ny, 0, height - 1)], axis=1
         )  # [8, 2]
@@ -267,7 +315,8 @@ def _lk_pair_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_levels", "window", "iterations", "fb_threshold",
-                     "narrow", "interpret"),
+                     "ncc_threshold", "template_ncc_threshold", "narrow",
+                     "interpret"),
 )
 def track_video_lk_pallas(
     video,  # [T H W 3] uint8/float
@@ -276,10 +325,20 @@ def track_video_lk_pallas(
     window: int = 7,
     iterations: int = 4,
     fb_threshold: float = 2.0,
+    ncc_threshold: float = 0.5,
+    template_ncc_threshold: float = 0.3,
+    template_frame=None,  # [H W] f32 gray; default = this video's frame 0
+    template_pos=None,  # [N 2] f32; default = queries
     narrow: bool = True,
     interpret: bool = False,
 ):
-    """TPU-resident LK tracking; same contract as tdspa.ops.lk.track_video_lk."""
+    """TPU-resident LK tracking; same contract as tdspa.ops.lk.track_video_lk.
+
+    ``template_frame``/``template_pos`` override the persistent-template
+    source for the appearance check — chunked tracking passes the original
+    video's first frame + original queries so every chunk checks against the
+    same template (chunk-parity with the single-call path).
+    """
     from tdspa.ops.lk import _to_gray, build_pyramid
 
     if window > 7:
@@ -294,16 +353,31 @@ def track_video_lk_pallas(
     num_points_orig = queries.shape[0]
     pad = (-num_points_orig) % 8
     queries = jnp.asarray(queries, jnp.float32)
+    if template_pos is None:
+        template_pos = queries
+    template_pos = jnp.asarray(template_pos, jnp.float32)
     if pad:
         queries = jnp.concatenate(
             [queries, jnp.zeros((pad, 2), jnp.float32)], axis=0
         )
+        template_pos = jnp.concatenate(
+            [template_pos, jnp.zeros((pad, 2), jnp.float32)], axis=0
+        )
     num_points = queries.shape[0]
     pyramids = build_pyramid(gray, num_levels)
     shapes = tuple((p.shape[1], p.shape[2]) for p in pyramids)
+    if template_frame is None:
+        template_frame = gray[0]
+    template_frame = jnp.asarray(template_frame, jnp.float32)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # queries (full)
-    operands = [jnp.asarray(queries, jnp.float32)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # queries (full)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # template positions (full)
+        # Template frame: fixed block index — stays VMEM-staged every step.
+        pl.BlockSpec((height, width), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [queries, template_pos, template_frame]
     for lvl in range(num_levels):
         h_l, w_l = shapes[lvl]
         operands += [pyramids[lvl], pyramids[lvl]]
@@ -320,6 +394,8 @@ def track_video_lk_pallas(
         window=window,
         iterations=iterations,
         fb_threshold=float(fb_threshold),
+        ncc_threshold=float(ncc_threshold),
+        template_ncc_threshold=float(template_ncc_threshold),
         shapes=shapes,
         narrow=narrow and width >= 128,
     )

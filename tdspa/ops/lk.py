@@ -12,7 +12,10 @@ forward-backward visibility checking:
   matrix is 2x2, inverted in closed form);
 * frame-to-frame chaining via ``lax.scan``;
 * visibility = forward-backward error < threshold AND in-bounds AND a
-  well-conditioned normal matrix.
+  well-conditioned normal matrix AND (occlusion reasoning) window NCC
+  between the tracked patch in consecutive frames above ``ncc_threshold`` —
+  an occluder sweeping over a point changes the local appearance abruptly,
+  which FB-checking alone misses when the occluder is itself trackable.
 
 Everything is static-shape and fully batched over points: windows gather via
 vectorized bilinear interpolation, so the tracker compiles to dense
@@ -104,6 +107,18 @@ def _lk_level(i0, i1, pts, disp, window: int, iterations: int):
     return disp, min_eig
 
 
+def _window_ncc(i0, i1, pts0, pts1, window: int):
+    """Normalized cross-correlation of the [window x window] patches at
+    pts0 in i0 and pts1 in i1. Returns [N] in [-1, 1]."""
+    offs = _window_offsets(window)  # [K 2]
+    a = _bilinear(i0, pts0[:, None, :] + offs[None])  # [N K]
+    b = _bilinear(i1, pts1[:, None, :] + offs[None])
+    am = a - a.mean(axis=-1, keepdims=True)
+    bm = b - b.mean(axis=-1, keepdims=True)
+    denom = jnp.sqrt(jnp.sum(am * am, -1) * jnp.sum(bm * bm, -1)) + 1e-6
+    return jnp.sum(am * bm, -1) / denom
+
+
 def _track_pair(pyr0, pyr1, pts, window: int, iterations: int):
     """Track pts [N 2] from frame pyramid pyr0 to pyr1 (lists, fine->coarse).
 
@@ -130,25 +145,54 @@ def build_pyramid(gray, num_levels: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_levels", "window", "iterations", "fb_threshold")
+    jax.jit,
+    static_argnames=(
+        "num_levels", "window", "iterations", "fb_threshold", "ncc_threshold",
+        "template_ncc_threshold",
+    ),
 )
-def _track_all(gray, queries, num_levels, window, iterations, fb_threshold):
+def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
+               ncc_threshold, template_ncc_threshold):
     t, h, w = gray.shape
     pyramids = build_pyramid(gray, num_levels)  # list of [T h w]
+    offs = _window_offsets(window)
+    template = _bilinear(pyramids[0][0], queries[:, None, :] + offs[None])
+    template = template - template.mean(axis=-1, keepdims=True)  # [N K]
+    template_norm = jnp.sqrt(jnp.sum(template * template, -1))
 
     def step(pts, idx):
         p0 = [lvl[idx] for lvl in pyramids]
         p1 = [lvl[idx + 1] for lvl in pyramids]
         new_pts, min_eig = _track_pair(p0, p1, pts, window, iterations)
-        back_pts, _ = _track_pair(p1, p0, new_pts, window, iterations)
-        fb_err = jnp.linalg.norm(back_pts - pts, axis=-1)
         in_bounds = (
             (new_pts[:, 0] >= 0)
             & (new_pts[:, 0] <= w - 1)
             & (new_pts[:, 1] >= 0)
             & (new_pts[:, 1] <= h - 1)
         )
-        visible = (fb_err < fb_threshold) & in_bounds & (min_eig > 1e-6)
+        visible = in_bounds & (min_eig > 1e-6)
+        if fb_threshold > -1.0:
+            # The backward pass doubles tracking cost; with the NCC checks on
+            # it buys ~1% occlusion recall on the synthetic benchmark
+            # (tests/unit/test_tracking_quality.py), so fb_threshold <= -1
+            # skips it entirely (the pipeline's fast configuration).
+            back_pts, _ = _track_pair(p1, p0, new_pts, window, iterations)
+            fb_err = jnp.linalg.norm(back_pts - pts, axis=-1)
+            visible &= fb_err < fb_threshold
+        if ncc_threshold > -1.0:
+            ncc = _window_ncc(p0[0], p1[0], pts, new_pts, window)
+            visible &= ncc > ncc_threshold
+        if template_ncc_threshold > -1.0:
+            # Persistent appearance check vs the frame-0 template: an
+            # occluder that sweeps over a point and then tracks consistently
+            # passes both FB and step-NCC checks; only the original
+            # appearance identifies the point as lost for the whole
+            # occlusion, not just its onset frame.
+            patch = _bilinear(p1[0], new_pts[:, None, :] + offs[None])
+            patch = patch - patch.mean(axis=-1, keepdims=True)
+            denom = template_norm * jnp.sqrt(jnp.sum(patch * patch, -1)) + 1e-6
+            t_ncc = jnp.sum(template * patch, -1) / denom
+            visible &= t_ncc > template_ncc_threshold
         clamped = jnp.stack(
             [jnp.clip(new_pts[:, 0], 0, w - 1), jnp.clip(new_pts[:, 1], 0, h - 1)],
             axis=-1,
@@ -172,8 +216,15 @@ def track_video_lk(
     window: int = 7,
     iterations: int = 4,
     fb_threshold: float = 2.0,
+    ncc_threshold: float = 0.5,
+    template_ncc_threshold: float = 0.3,
 ):
     """Track query points through a video.
+
+    ``ncc_threshold``: consecutive-frame window-NCC below this marks the
+    point occluded. ``template_ncc_threshold``: same against the frame-0
+    query-position template (persistent-occlusion detection; looser default
+    since appearance drifts over time). Either <= -1 disables that check.
 
     Returns (tracks [N T 2] float32, visible [N T 1] float32).
     """
@@ -185,5 +236,7 @@ def track_video_lk(
         window,
         iterations,
         float(fb_threshold),
+        float(ncc_threshold),
+        float(template_ncc_threshold),
     )
     return tracks, visible[..., None].astype(jnp.float32)

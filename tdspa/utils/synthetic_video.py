@@ -1,0 +1,108 @@
+"""Synthetic tracking scenes with exact ground-truth tracks and occlusions.
+
+Quantifies tracker quality without external data: a textured static
+background plus textured sprites moving with constant integer velocities in
+z-order. Every query point is attached to the surface that is topmost at its
+position in frame 0; its ground-truth position follows that surface rigidly
+and its ground-truth visibility at frame t is "my surface is the topmost one
+at my position" (plus in-bounds). Integer velocities keep the render exact
+(no resampling), so ground truth is exact to the pixel.
+
+This stands in for the CoTracker3-quality contract of the reference
+(inference.py:97-154): the benchmark in tests/unit/test_tracking_quality.py
+scores any track provider against these scenes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _texture(rng, height, width, cell: int = 4) -> np.ndarray:
+    """[H W 3] uint8: piecewise-constant random color cells (strong local
+    gradients every ``cell`` pixels — good LK texture, no aliasing)."""
+    coarse = rng.integers(30, 226, (height // cell + 1, width // cell + 1, 3))
+    return (
+        np.repeat(np.repeat(coarse, cell, 0), cell, 1)[:height, :width]
+        .astype(np.uint8)
+    )
+
+
+def make_tracking_scene(
+    num_frames: int = 24,
+    height: int = 160,
+    width: int = 256,
+    grid_size: int = 12,
+    num_sprites: int = 2,
+    sprite_size: int = 48,
+    seed: int = 0,
+):
+    """Render a scene and its exact tracking ground truth.
+
+    Returns:
+      video: [T H W 3] uint8.
+      tracks: [N T 2] float32 (x, y) — N = grid_size**2 query points laid out
+        on a half-pixel-centered grid at frame 0.
+      visible: [N T] bool ground-truth visibility.
+    """
+    rng = np.random.default_rng(seed)
+    background = _texture(rng, height, width)
+
+    # Sprites: (texture, x0, y0, vx, vy), painted in list order (later on top).
+    sprites = []
+    for s in range(num_sprites):
+        tex = _texture(rng, sprite_size, sprite_size, cell=4)
+        # Start in-frame, velocities +/-{1..3} px/frame, guaranteed nonzero.
+        x0 = int(rng.integers(0, width - sprite_size))
+        y0 = int(rng.integers(0, height - sprite_size))
+        vx = int(rng.choice([-3, -2, -1, 1, 2, 3]))
+        vy = int(rng.choice([-2, -1, 1, 2]))
+        sprites.append((tex, x0, y0, vx, vy))
+
+    def sprite_origin(s, t):
+        tex, x0, y0, vx, vy = sprites[s]
+        return x0 + vx * t, y0 + vy * t
+
+    def render(t):
+        frame = background.copy()
+        for s, (tex, *_rest) in enumerate(sprites):
+            sx, sy = sprite_origin(s, t)
+            x_lo, x_hi = max(sx, 0), min(sx + sprite_size, width)
+            y_lo, y_hi = max(sy, 0), min(sy + sprite_size, height)
+            if x_lo < x_hi and y_lo < y_hi:
+                frame[y_lo:y_hi, x_lo:x_hi] = tex[
+                    y_lo - sy : y_hi - sy, x_lo - sx : x_hi - sx
+                ]
+        return frame
+
+    video = np.stack([render(t) for t in range(num_frames)])
+
+    def topmost_surface(x, y, t):
+        """-1 = background, else sprite index (highest wins)."""
+        top = -1
+        for s in range(len(sprites)):
+            sx, sy = sprite_origin(s, t)
+            if sx <= x < sx + sprite_size and sy <= y < sy + sprite_size:
+                top = s
+        return top
+
+    # Query grid at frame 0, each point attached to its topmost surface.
+    step_x, step_y = width / grid_size, height / grid_size
+    xs = (np.tile(np.arange(grid_size), grid_size) + 0.5) * step_x
+    ys = (np.repeat(np.arange(grid_size), grid_size) + 0.5) * step_y
+    n = grid_size * grid_size
+    tracks = np.zeros((n, num_frames, 2), np.float32)
+    visible = np.zeros((n, num_frames), bool)
+    for i in range(n):
+        owner = topmost_surface(xs[i], ys[i], 0)
+        for t in range(num_frames):
+            if owner == -1:
+                px, py = xs[i], ys[i]
+            else:
+                sx0, sy0 = sprite_origin(owner, 0)
+                sxt, syt = sprite_origin(owner, t)
+                px, py = xs[i] + (sxt - sx0), ys[i] + (syt - sy0)
+            tracks[i, t] = (px, py)
+            in_bounds = 0 <= px < width and 0 <= py < height
+            visible[i, t] = in_bounds and topmost_surface(px, py, t) == owner
+    return video, tracks, visible

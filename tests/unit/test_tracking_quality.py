@@ -1,0 +1,106 @@
+"""Quantitative tracking quality vs synthetic ground truth.
+
+The reference's front-end quality contract is CoTracker3
+(inference.py:97-154); the TPU-native LK tracker must be measurably good at
+the same job: localize points and classify occlusion. Scenes from
+``make_tracking_scene`` give exact ground truth (textured sprites sweeping
+over a textured background), so both position error and occlusion detection
+are scored with hard thresholds, and the appearance-NCC occlusion reasoning
+must demonstrably beat plain FB-checked LK.
+"""
+
+import numpy as np
+import pytest
+
+from tdspa.eval.tracking_quality import tracking_quality
+from tdspa.features.tracks import PyramidalLKTracker, make_query_grid
+from tdspa.utils.synthetic_video import make_tracking_scene
+
+SEEDS = (0, 1, 2)
+
+
+def _scene_and_tracker(seed, **tracker_kwargs):
+    video, gt_tracks, gt_vis = make_tracking_scene(seed=seed)
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu", **tracker_kwargs)
+    return video, gt_tracks, gt_vis, tracker
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_lk_position_quality(seed):
+    video, gt_tracks, gt_vis, tracker = _scene_and_tracker(seed)
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    # Localization: most gt-visible points within 2px; claimed-visible
+    # points sub-pixel on average.
+    assert q["pts_within_2"] > 0.9, q
+    assert q["epe_both_visible"] < 0.75, q
+    assert q["visible_recall"] > 0.9, q
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_lk_occlusion_detection(seed):
+    video, gt_tracks, gt_vis, tracker = _scene_and_tracker(seed)
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    assert q["occlusion_recall"] > 0.5, q
+    assert q["visibility_accuracy"] > 0.9, q
+
+
+def test_appearance_ncc_beats_plain_fb_lk():
+    """The occlusion-reasoning pass must measurably improve on FB-only LK."""
+    gains = []
+    for seed in SEEDS:
+        video, gt_tracks, gt_vis, with_ncc = _scene_and_tracker(seed)
+        _, _, _, fb_only = _scene_and_tracker(
+            seed, ncc_threshold=-1.0, template_ncc_threshold=-1.0
+        )
+        q_ncc = tracking_quality(with_ncc(video), gt_tracks, gt_vis)
+        q_fb = tracking_quality(fb_only(video), gt_tracks, gt_vis)
+        gains.append(q_ncc["occlusion_recall"] - q_fb["occlusion_recall"])
+        # The position metrics must not regress.
+        assert q_ncc["pts_within_2"] >= q_fb["pts_within_2"] - 1e-6
+    assert float(np.mean(gains)) > 0.25, gains
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fast_config_quality(seed):
+    """The pipeline's fast config (NCC checks, no backward pass) must hold
+    the same quality bars as the full config — it halves tracking cost."""
+    video, gt_tracks, gt_vis, tracker = _scene_and_tracker(
+        seed, fb_threshold=-1.0
+    )
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    assert q["pts_within_2"] > 0.9, q
+    assert q["occlusion_recall"] > 0.5, q
+    assert q["visible_recall"] > 0.9, q
+    assert q["visibility_accuracy"] > 0.9, q
+
+
+def test_ground_truth_self_consistency():
+    """A perfect oracle scores perfectly (sanity check of the metric math)."""
+    _, gt_tracks, gt_vis = make_tracking_scene(seed=0)
+    q = tracking_quality(
+        {"tracks": gt_tracks, "visible": gt_vis.astype(np.float32)},
+        gt_tracks, gt_vis,
+    )
+    assert q["epe_gt_visible"] == 0.0
+    assert q["visibility_accuracy"] == 1.0
+    assert q["occlusion_recall"] == 1.0
+    assert q["visible_recall"] == 1.0
+
+
+def test_pallas_kernel_quality_matches_xla(monkeypatch):
+    """The Pallas path (interpret mode) scores comparably on a small scene."""
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=0, num_frames=10, height=160, width=256, grid_size=8
+    )
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    queries = make_query_grid(160, 256, 8)
+    tracks, vis = track_video_lk_pallas(
+        video, queries, interpret=True
+    )
+    q = tracking_quality(
+        {"tracks": np.asarray(tracks), "visible": np.asarray(vis)},
+        gt_tracks, gt_vis,
+    )
+    assert q["pts_within_2"] > 0.85, q
+    assert q["visibility_accuracy"] > 0.85, q
