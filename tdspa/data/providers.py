@@ -142,6 +142,70 @@ class NpzDirectoryProvider:
         return example
 
 
+class TfdsTrackProvider:
+    """Examples from a ``tensorflow_datasets`` builder (the reference's
+    intended backend: ``tfds.load(name, split, data_dir)`` with fields
+    video / tracks_3d / visible [+ dino/depth features] —
+    data_loader.py:117-123, 136, 180-189).
+
+    Random access goes through ``tfds.data_source`` (ArrayRecord datasets;
+    no TensorFlow needed at read time). Builders without data_source support
+    fall back to one streaming materialization via ``tfds.as_numpy``.
+    Common field spellings are normalized: ``target_points``/``tracks_XYZ``
+    -> tracks, ``occluded`` -> visible.
+    """
+
+    def __init__(self, name: str, split: str = "train",
+                 data_dir: str | None = None):
+        import tensorflow_datasets as tfds
+
+        try:
+            self._source = tfds.data_source(name, split=split, data_dir=data_dir)
+        except Exception:  # noqa: BLE001 - non-ArrayRecord builder
+            ds = tfds.load(name, split=split, data_dir=data_dir)
+            self._source = list(tfds.as_numpy(ds))
+
+    def __len__(self):
+        return len(self._source)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __getitem__(self, i: int) -> dict:
+        return _normalize_tfds_example(self._source[i])
+
+
+def _normalize_tfds_example(raw: dict) -> dict:
+    """tfds example -> the provider schema used by batch prep / eval."""
+    example: dict = {}
+    if "tracks_3d" in raw or "tracks_XYZ" in raw:
+        example["tracks_3d"] = np.asarray(
+            raw.get("tracks_3d", raw.get("tracks_XYZ")), np.float32
+        )
+    elif "tracks" in raw or "target_points" in raw:
+        example["tracks"] = np.asarray(
+            raw.get("tracks", raw.get("target_points")), np.float32
+        )
+    if "visible" in raw:
+        vis = np.asarray(raw["visible"], np.float32)
+    elif "visibility" in raw:
+        vis = np.asarray(raw["visibility"], np.float32)
+    elif "occluded" in raw:
+        vis = 1.0 - np.asarray(raw["occluded"], np.float32)
+    else:
+        key = "tracks_3d" if "tracks_3d" in example else "tracks"
+        vis = np.ones(example[key].shape[:2], np.float32)
+    if vis.ndim == 2:
+        vis = vis[..., None]
+    example["visible"] = vis
+    for key in ("dino_features", "depth_features", "video", "queries_xyt",
+                "query_points", "fx_fy_cx_cy", "intrinsics"):
+        if key in raw:
+            example[key] = np.asarray(raw[key])
+    return example
+
+
 class BatchedTrackDataset:
     """Iterates prepared batches of size ``batch_size`` over a provider.
 
@@ -213,15 +277,16 @@ def _resolve_provider(
 ):
     if dataset_path and os.path.isdir(dataset_path):
         return NpzDirectoryProvider(dataset_path, split=split)
-    try:  # tfds path (optional dependency)
-        import tensorflow_datasets as tfds  # noqa: F401
+    if dataset_path:
+        try:  # tfds path: dataset_path is a builder name (optional dep)
+            import tensorflow_datasets as tfds  # noqa: F401
 
-        raise NotImplementedError(
-            "tfds-backed loading requires a registered dataset builder; "
-            "point dataset_path at a directory of per-video .npz files instead."
-        )
-    except ImportError:
-        pass
+            return TfdsTrackProvider(
+                dataset_path, split=split,
+                data_dir=os.environ.get("TFDS_DATA_DIR"),
+            )
+        except ImportError:
+            pass
     return SyntheticTrackProvider(
         num_coords=coords, with_features=with_features, num_frames=num_frames
     )
@@ -292,7 +357,13 @@ def load_tapvid3d_dataset(
     Yields raw per-video examples (not support/query-split batches): the eval
     harness builds model batches itself using ground-truth query points.
     """
-    return NpzDirectoryProvider(dataset_path, split=split)
+    if dataset_path and os.path.isdir(dataset_path):
+        return NpzDirectoryProvider(dataset_path, split=split)
+    import tensorflow_datasets as tfds  # noqa: F401 - name-based tfds path
+
+    return TfdsTrackProvider(
+        dataset_path, split=split, data_dir=os.environ.get("TFDS_DATA_DIR")
+    )
 
 
 def _num_tracks(example: dict) -> int:

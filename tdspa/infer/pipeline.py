@@ -313,27 +313,62 @@ class InferencePipeline:
         wants_dev = getattr(self.track_provider, "prefers_device_input", None)
         on_device_tracker = bool(wants_dev and wants_dev(video.shape))
         chunk = self.upload_chunk_frames
+        dino_grid = None
+        depth_maps = None
         if (
             on_device_tracker
             and hasattr(self.track_provider, "track_chunks")
             and chunk
             and t > chunk
         ):
-            # Streamed upload: chunk transfers enqueue asynchronously and the
-            # per-chunk tracking compute overlaps them (each chunk's kernel
-            # waits only on its own transfer). The video is uploaded exactly
-            # once; later stages consume the device-side concatenation.
+            # Streamed upload: chunk transfers enqueue asynchronously and ALL
+            # per-chunk device compute (tracking, and — when the providers
+            # are the native device implementations — DINO and depth too)
+            # overlaps them: each chunk's programs wait only on that chunk's
+            # transfer, so total wall-clock approaches
+            # max(transfer, compute). The video is uploaded exactly once;
+            # later stages consume the device-side concatenation.
+            from tdspa.features.depth import VideoDepthEstimator
+            from tdspa.features.dino import DinoFeatureExtractor
+
+            stream_dino = self.use_dino and isinstance(
+                self.dino_extractor, DinoFeatureExtractor
+            )
+            # Per-chunk depth equals the full-video result only when chunk
+            # boundaries align with the estimator's temporal-attention
+            # groups.
+            stream_depth = (
+                self.use_depth
+                and isinstance(self.depth_provider, VideoDepthEstimator)
+                and chunk % self.depth_provider.frame_chunk == 0
+            )
             t0 = time.perf_counter()
             chunks = [
                 jnp.asarray(video[i : i + chunk]) for i in range(0, t, chunk)
             ]
             track_data = self.track_provider.track_chunks(chunks)
+            dino_parts = (
+                [self.dino_extractor(c) for c in chunks] if stream_dino else None
+            )
+            depth_parts = (
+                [self.depth_provider(c) for c in chunks] if stream_depth else None
+            )
             video_dev = jnp.concatenate(chunks, axis=0)
-            float(track_data["tracks"].ravel()[0])  # sync: upload + tracking
-            self.timings["upload_and_tracking"] = time.perf_counter() - t0
+            # Sync: one host value per result chain forces completion of
+            # upload + tracking + streamed features.
+            float(track_data["tracks"].ravel()[0])
+            if dino_parts is not None:
+                dino_grid = jnp.concatenate(dino_parts, axis=0)
+                float(dino_parts[-1].ravel()[0])
+            if depth_parts is not None:
+                depth_maps = jnp.concatenate(depth_parts, axis=0)
+                float(depth_parts[-1].ravel()[0])
+            self.timings["upload_tracking_features"] = time.perf_counter() - t0
             logging.info(
-                "upload_and_tracking (overlapped): %.3fs",
-                self.timings["upload_and_tracking"],
+                "upload+tracking%s%s (streamed, overlapped): %.3fs",
+                "+dino" if stream_dino else "",
+                "+depth" if stream_depth else "",
+                self.timings["upload_tracking_features"],
             )
         else:
             # One host->HBM upload of the video, shared by every device
@@ -347,13 +382,11 @@ class InferencePipeline:
         tracks_2d = jnp.asarray(track_data["tracks"])
         visible = jnp.asarray(track_data["visible"])
 
-        dino_grid = None
-        if self.use_dino:
+        if self.use_dino and dino_grid is None:
             dino_grid = jnp.asarray(
                 self._timed("dino_features", self.dino_extractor, video_dev)
             )
-        depth_maps = None
-        if self.use_depth:
+        if self.use_depth and depth_maps is None:
             depth_maps = jnp.asarray(
                 self._timed("depth", self.depth_provider, video_dev)
             )

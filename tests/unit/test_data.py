@@ -124,3 +124,87 @@ def test_batched_dataset_and_prefetch():
     assert isinstance(batches[0]["support_tracks"], jax.Array)
     # take() limits
     assert len(list(ds.take(1))) == 1
+
+
+def test_tfds_provider_with_fake_tfds(monkeypatch):
+    """TfdsTrackProvider reads a tfds data_source and normalizes kubric-style
+    fields (target_points/occluded) into the provider schema; the loader
+    entry points route builder names through it (reference
+    data_loader.py:136 intent)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from tdspa.data.providers import (
+        TfdsTrackProvider,
+        load_kubric3d_dataset,
+        load_tapvid3d_dataset,
+    )
+
+    raw_2d = {
+        "target_points": np.zeros((6, 5, 2), np.float32),
+        "occluded": np.zeros((6, 5), np.float32),
+        "video": np.zeros((5, 8, 8, 3), np.uint8),
+    }
+    raw_3d = {
+        "tracks_XYZ": np.ones((6, 5, 3), np.float32),
+        "visibility": np.ones((6, 5), np.float32),
+        "fx_fy_cx_cy": np.array([100.0, 100.0, 4.0, 4.0], np.float32),
+        "queries_xyt": np.zeros((6, 3), np.float32),
+    }
+
+    fake = types.ModuleType("tensorflow_datasets")
+    fake.data_source = lambda name, split=None, data_dir=None: (
+        [raw_2d] * 3 if name == "tapvid" else [raw_3d] * 3
+    )
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", fake)
+
+    p = TfdsTrackProvider("tapvid", split="train")
+    assert len(p) == 3
+    ex = p[0]
+    assert ex["tracks"].shape == (6, 5, 2)
+    assert ex["visible"].shape == (6, 5, 1)
+    assert (ex["visible"] == 1.0).all()  # occluded=0 -> visible=1
+
+    p3 = TfdsTrackProvider("kubric3d", split="train")
+    ex3 = p3[0]
+    assert ex3["tracks_3d"].shape == (6, 5, 3)
+    assert "fx_fy_cx_cy" in ex3 and "queries_xyt" in ex3
+
+    # Name-based resolution through the public loaders.
+    ds = load_kubric3d_dataset("kubric3d", batch_size=3, num_frames=5,
+                               num_support_tracks=3, num_query_tracks=3,
+                               use_dino=False, use_depth=False)
+    batch = next(iter(ds))
+    assert batch["support_tracks"].shape[0] == 3  # batch dim
+
+    eval_ds = load_tapvid3d_dataset("tapvid3d")
+    assert len(eval_ds) == 3
+    assert eval_ds[0]["tracks_3d"].shape == (6, 5, 3)
+
+
+def test_tfds_provider_streaming_fallback(monkeypatch):
+    """Builders without data_source support fall back to tfds.load."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from tdspa.data.providers import TfdsTrackProvider
+
+    raw = {"tracks": np.zeros((2, 4, 2), np.float32)}
+
+    def no_source(*a, **k):
+        raise RuntimeError("no ArrayRecord for this builder")
+
+    fake = types.ModuleType("tensorflow_datasets")
+    fake.data_source = no_source
+    fake.load = lambda name, split=None, data_dir=None: "DS"
+    fake.as_numpy = lambda ds: iter([raw, raw])
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", fake)
+
+    p = TfdsTrackProvider("whatever")
+    assert len(p) == 2
+    # No visibility field at all -> all-visible default.
+    assert (p[1]["visible"] == 1.0).all()
