@@ -58,10 +58,21 @@ class ViTConfig:
         return cls(**{**cls.PRESETS[name], **kwargs})
 
 
+def _fused_vit_attention_applicable(q) -> bool:
+    """Pallas fused path: TPU backend + a serviceable (maskless) shape."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from tdspa.kernels.attention import fused_attention_fits
+
+    b, s, h, d = q.shape
+    return fused_attention_fits(b, s, s, h, d, maskless=True)
+
+
 class _Attention(nn.Module):
     hidden_size: int
     num_heads: int
     dtype: Any = jnp.float32
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -75,6 +86,19 @@ class _Attention(nn.Module):
         v = nn.DenseGeneral(
             (self.num_heads, head_dim), dtype=self.dtype, name="value"
         )(x)
+        if self.use_fused and _fused_vit_attention_applicable(q):
+            # VMEM-resident attention (per-head KV-blocked online softmax at
+            # ViT sequence lengths): XLA otherwise materializes the
+            # [B, H, S, S] logits in HBM — ~1.3 GB per layer per 16-frame
+            # chunk at 1297 tokens — making feature extraction
+            # bandwidth-bound. Differentiable via the XLA-recompute vjp.
+            from tdspa.kernels.attention import fused_attention
+
+            # (1/sqrt(head_dim) scaling is applied inside the kernel.)
+            out = fused_attention(q, k, v, None)
+            return nn.DenseGeneral(
+                self.hidden_size, axis=(-2, -1), dtype=self.dtype, name="output"
+            )(out.astype(self.dtype))
         logits = jnp.einsum(
             "...qhd,...khd->...hqk",
             q.astype(self.dtype) / jnp.sqrt(head_dim).astype(self.dtype),

@@ -201,6 +201,7 @@ class InferencePipeline:
         dtype=jnp.bfloat16,
         mesh=None,
         upload_chunk_frames: int = 40,
+        upload_yuv420: bool = True,
         projection_policy: str = "error",
     ):
         self.num_output_frames = num_output_frames
@@ -217,6 +218,7 @@ class InferencePipeline:
         # depth extractor's temporal-attention windows aligned with the
         # unchunked grouping (its lax.map groups are 8 frames).
         self.upload_chunk_frames = upload_chunk_frames
+        self.upload_yuv420 = upload_yuv420
         self.model = model or TrackAutoEncoder3D(
             num_output_frames=num_output_frames,
             use_dino=use_dino,
@@ -343,9 +345,24 @@ class InferencePipeline:
                 and chunk % self.depth_provider.frame_chunk == 0
             )
             t0 = time.perf_counter()
-            chunks = [
-                jnp.asarray(video[i : i + chunk]) for i in range(0, t, chunk)
-            ]
+            if self.upload_yuv420 and h % 2 == 0 and w % 2 == 0:
+                # Halve the wire bytes: source footage is 4:2:0 anyway, luma
+                # (what tracking consumes) stays lossless, RGB reconstructs
+                # on device (see tdspa/ops/yuv.py).
+                from tdspa.ops.yuv import rgb_to_yuv420, yuv420_to_rgb
+
+                chunks = []
+                for i in range(0, t, chunk):
+                    y, u, v = rgb_to_yuv420(video[i : i + chunk])
+                    chunks.append(
+                        yuv420_to_rgb(
+                            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+                        )
+                    )
+            else:
+                chunks = [
+                    jnp.asarray(video[i : i + chunk]) for i in range(0, t, chunk)
+                ]
             track_data = self.track_provider.track_chunks(chunks)
             dino_parts = (
                 [self.dino_extractor(c) for c in chunks] if stream_dino else None
@@ -353,7 +370,12 @@ class InferencePipeline:
             depth_parts = (
                 [self.depth_provider(c) for c in chunks] if stream_depth else None
             )
-            video_dev = jnp.concatenate(chunks, axis=0)
+            # The full concatenated video is only needed by non-streaming
+            # feature consumers; skip the 100+ MB device copy otherwise.
+            need_full = (self.use_dino and not stream_dino) or (
+                self.use_depth and not stream_depth
+            )
+            video_dev = jnp.concatenate(chunks, axis=0) if need_full else None
             # Sync: one host value per result chain forces completion of
             # upload + tracking + streamed features.
             float(track_data["tracks"].ravel()[0])

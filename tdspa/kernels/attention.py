@@ -135,6 +135,105 @@ def _mha_flash_kernel(
         out_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
 
 
+def _mha_flash_perhead_kernel(
+    q_ref, k_ref, v_ref, out_ref, m_ref, d_ref, acc_ref, *, scale, kv_len
+):
+    """Maskless KV-blocked online softmax, one HEAD per grid row.
+
+    grid = (batch, heads, kv_blocks). Serves long-sequence shapes whose
+    all-heads flash step overflows VMEM — e.g. DINOv2's 1297-token frames
+    (12 heads x 1297 x 1297 logits). Layout keeps every reduction on
+    sublanes: logits are computed transposed [KB, S], the running max /
+    denominator are [1, S], and the accumulator is [D, S] (scaled by
+    [1, S] broadcasts); the single [D, S] -> [S, D] transpose happens once
+    at the last block.
+    """
+    kv_i = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+    big_neg = jnp.finfo(jnp.float32).min
+
+    @pl.when(kv_i == 0)
+    def _():
+        m_ref[:] = jnp.full(m_ref.shape, big_neg, jnp.float32)
+        d_ref[:] = jnp.zeros(d_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    q = q_ref[0, :, 0, :].astype(jnp.bfloat16)  # [S, D]
+    k = k_ref[0, :, 0, :].astype(jnp.bfloat16)  # [KB, D]
+    v = v_ref[0, :, 0, :].astype(jnp.bfloat16)
+
+    logits_t = jax.lax.dot_general(
+        k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [KB, S]
+    kb = logits_t.shape[0]
+    # Tail-block padding: key rows past the true kv_len drop out via -inf
+    # logits (computed from the static kv_len — no mask operand needed).
+    if (pl.num_programs(2) * kb) != kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 0)
+        valid = (row + pl.program_id(2) * kb) < kv_len
+        logits_t = jnp.where(valid, logits_t, big_neg)
+
+    m_prev = m_ref[:]  # [1, S]
+    m_new = jnp.maximum(m_prev, jnp.max(logits_t, axis=0, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # [1, S]
+    p = jnp.exp(logits_t - m_new)  # [KB, S]
+    d_ref[:] = d_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    pv = jax.lax.dot_general(
+        v, p.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [D, S]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = m_new
+
+    @pl.when(kv_i == num_kv - 1)
+    def _():
+        out = acc_ref[:] / d_ref[:]  # [D, S]
+        out_ref[0, :, 0, :] = jnp.transpose(out, (1, 0)).astype(out_ref.dtype)
+
+
+def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False):
+    """Per-head KV-blocked dispatch (maskless). q [B,S,H,D] -> [B,S,H,D]."""
+    batch, s, heads, depth = q.shape
+    kv_len = k.shape[1]
+    scale = 1.0 / (depth ** 0.5)
+    pad = (-kv_len) % kb
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    num_kv = (kv_len + pad) // kb
+
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    return pl.pallas_call(
+        functools.partial(
+            _mha_flash_perhead_kernel, scale=scale, kv_len=kv_len
+        ),
+        grid=(batch, heads, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, s, 1, depth), lambda b, h, i: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, 1, depth), lambda b, h, i: (b, i, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, 1, depth), lambda b, h, i: (b, i, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, 1, depth), lambda b, h, i: (b, 0, h, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, s), jnp.float32),
+            pltpu.VMEM((1, s), jnp.float32),
+            pltpu.VMEM((depth, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _pick_kv_block(kv_len: int, s: int, heads: int, depth: int) -> int:
     """Largest KV block (multiple of 128, <= 512) whose step fits VMEM."""
     for kb in (512, 384, 256, 128):
@@ -155,6 +254,11 @@ def _flash_attention(q, k, v, key_mask, interpret: bool = False):
     batch, s, heads, depth = q.shape
     kv_len = k.shape[1]
     scale = 1.0 / (depth ** 0.5)
+
+    if key_mask is None and _flash_step_elems(s, heads, depth) > VMEM_ELEM_BUDGET:
+        # All-heads-resident step overflows VMEM (long sequences like the
+        # 1297-token ViT frames): per-head grid variant.
+        return _flash_perhead(q, k, v, interpret=interpret)
 
     kb = _pick_kv_block(kv_len, s, heads, depth)
     pad = (-kv_len) % kb
@@ -298,15 +402,26 @@ def _per_item_elems(s, kv_len, heads, depth) -> int:
     )
 
 
-def fused_attention_fits(batch, s, kv_len, heads, depth) -> bool:
-    """True when the shape is serviceable by a fused kernel: either the whole
-    KV fits one item's VMEM tile, or a 128-wide KV block does (the blocked
-    online-softmax path takes over)."""
+def _flash_step_elems(s, heads, depth, kb: int = 128) -> int:
+    return 2 * heads * s * kb + 2 * kb * heads * depth + 3 * s * heads * depth
+
+
+def _perhead_step_elems(s, depth, kb: int = 512) -> int:
+    return 2 * kb * s + 2 * kb * depth + 3 * s * depth
+
+
+def fused_attention_fits(batch, s, kv_len, heads, depth,
+                         maskless: bool = False) -> bool:
+    """True when the shape is serviceable by a fused kernel: the whole KV
+    fits one item's VMEM tile, a 128-wide KV block does (blocked online
+    softmax), or — maskless only — a per-head KV block does (long-sequence
+    ViT shapes)."""
     del batch
     if _per_item_elems(s, kv_len, heads, depth) <= VMEM_ELEM_BUDGET:
         return True
-    blocked_step = 2 * heads * s * 128 + 2 * 128 * heads * depth + 3 * s * heads * depth
-    return blocked_step <= VMEM_ELEM_BUDGET
+    if _flash_step_elems(s, heads, depth) <= VMEM_ELEM_BUDGET:
+        return True
+    return maskless and _perhead_step_elems(s, depth) <= VMEM_ELEM_BUDGET
 
 
 def _xla_reference(q, k, v, key_mask):

@@ -129,3 +129,42 @@ def test_fused_dispatch_blocked_for_large_kv():
     from tdspa.kernels.attention import VMEM_ELEM_BUDGET, _per_item_elems
 
     assert _per_item_elems(128, 2048, 8, 96) > VMEM_ELEM_BUDGET
+
+
+def test_flash_perhead_matches_xla():
+    """Per-head KV-blocked kernel (the ViT long-sequence path), incl. a
+    padded tail block (kv_len not a multiple of the block size)."""
+    from tdspa.kernels.attention import _flash_perhead
+
+    q, k, v, _ = _attn_inputs(B=2, S=11, K=11, H=3, D=8)
+    ref = masked_dot_product_attention(q, k, v, compute_dtype=jnp.bfloat16)
+    got = _flash_perhead(q, k, v, kb=8, interpret=True)  # 11 -> 8 + 3-pad
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+    got_one = _flash_perhead(q, k, v, kb=16, interpret=True)  # single block
+    np.testing.assert_allclose(np.asarray(got_one), np.asarray(ref), atol=2e-2)
+
+
+def test_vit_attention_fused_path_matches_einsum(monkeypatch):
+    """Dinov2 _Attention with the fused path forced == the einsum path."""
+    import tdspa.features.vit as vit_mod
+    from tdspa.kernels import attention as ka
+
+    cfg = vit_mod.ViTConfig(hidden_size=24, num_layers=1, num_heads=3,
+                            patch_size=2, image_size=8)
+    model = vit_mod.Dinov2Flax(config=cfg)
+    x = jnp.asarray(RNG.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+
+    # Force the fused branch (interpret-mode kernel) regardless of backend.
+    monkeypatch.setattr(
+        vit_mod, "_fused_vit_attention_applicable", lambda q: True
+    )
+    fused = ka.fused_masked_attention
+    monkeypatch.setattr(
+        ka, "fused_attention",
+        lambda q, k, v, key_mask: fused(q, k, v, key_mask, interpret=True),
+    )
+    got = model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2)
