@@ -43,6 +43,11 @@ flags.DEFINE_string("log_jsonl", None, "Also append metrics to this JSONL file")
 flags.DEFINE_integer("num_support_tracks", 2048, "Support tracks per example")
 flags.DEFINE_integer("num_query_tracks", 2048, "Query tracks per example")
 flags.DEFINE_integer("log_freq", 10, "Metric logging frequency in steps")
+flags.DEFINE_integer(
+    "decoder_scan_chunk_size", None,
+    "Chunk the decoder's query axis via nn.scan (memory knob for large "
+    "batch x query products; reference track_autoencoder.py:350-382)",
+)
 
 
 def main(argv):
@@ -98,6 +103,8 @@ def main(argv):
         from tdspa.utils.testing import TINY_3D
 
         overrides = dict(TINY_3D)
+    if FLAGS.decoder_scan_chunk_size:
+        overrides["decoder_scan_chunk_size"] = FLAGS.decoder_scan_chunk_size
 
     logging.info("devices: %s", jax.devices())
     train(

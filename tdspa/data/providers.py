@@ -287,8 +287,11 @@ def _resolve_provider(
             )
         except ImportError:
             pass
+    # 128 videos: enough for at least one full batch at the reference's
+    # batch-64 operating point.
     return SyntheticTrackProvider(
-        num_coords=coords, with_features=with_features, num_frames=num_frames
+        num_videos=128, num_coords=coords, with_features=with_features,
+        num_frames=num_frames,
     )
 
 

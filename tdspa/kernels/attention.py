@@ -158,9 +158,9 @@ def _mha_flash_perhead_kernel(
         d_ref[:] = jnp.zeros(d_ref.shape, jnp.float32)
         acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    q = q_ref[0, :, 0, :].astype(jnp.bfloat16)  # [S, D]
-    k = k_ref[0, :, 0, :].astype(jnp.bfloat16)  # [KB, D]
-    v = v_ref[0, :, 0, :].astype(jnp.bfloat16)
+    q = q_ref[0, 0].astype(jnp.bfloat16)  # [S, D]
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # [KB, D]
+    v = v_ref[0, 0].astype(jnp.bfloat16)
 
     logits_t = jax.lax.dot_general(
         k, q, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -190,7 +190,7 @@ def _mha_flash_perhead_kernel(
     @pl.when(kv_i == num_kv - 1)
     def _():
         out = acc_ref[:] / d_ref[:]  # [D, S]
-        out_ref[0, :, 0, :] = jnp.transpose(out, (1, 0)).astype(out_ref.dtype)
+        out_ref[0, 0] = jnp.transpose(out, (1, 0)).astype(out_ref.dtype)
 
 
 def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False):
@@ -204,27 +204,30 @@ def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False):
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
     num_kv = (kv_len + pad) // kb
 
-    q = q.astype(jnp.bfloat16)
-    k = k.astype(jnp.bfloat16)
-    v = v.astype(jnp.bfloat16)
-    return pl.pallas_call(
+    # Head-major [B, H, S, D]: Mosaic rejects blocking the head axis at
+    # position -2 (last two block dims must be full or (8, 128)-divisible),
+    # so the head moves into the leading (freely blockable) dims.
+    q = jnp.transpose(q.astype(jnp.bfloat16), (0, 2, 1, 3))
+    k = jnp.transpose(k.astype(jnp.bfloat16), (0, 2, 1, 3))
+    v = jnp.transpose(v.astype(jnp.bfloat16), (0, 2, 1, 3))
+    out = pl.pallas_call(
         functools.partial(
             _mha_flash_perhead_kernel, scale=scale, kv_len=kv_len
         ),
         grid=(batch, heads, num_kv),
         in_specs=[
-            pl.BlockSpec((1, s, 1, depth), lambda b, h, i: (b, 0, h, 0),
+            pl.BlockSpec((1, 1, s, depth), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, 1, depth), lambda b, h, i: (b, i, h, 0),
+            pl.BlockSpec((1, 1, kb, depth), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, 1, depth), lambda b, h, i: (b, i, h, 0),
+            pl.BlockSpec((1, 1, kb, depth), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, s, 1, depth), lambda b, h, i: (b, 0, h, 0),
+            (1, 1, s, depth), lambda b, h, i: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, s, depth), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, s), jnp.float32),
             pltpu.VMEM((1, s), jnp.float32),
@@ -232,6 +235,7 @@ def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False):
         ],
         interpret=interpret,
     )(q, k, v)
+    return jnp.transpose(out, (0, 2, 1, 3))  # back to [B, S, H, D]
 
 
 def _pick_kv_block(kv_len: int, s: int, heads: int, depth: int) -> int:
