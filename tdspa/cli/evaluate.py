@@ -63,7 +63,7 @@ def main(argv):
     os.makedirs(FLAGS.output_dir, exist_ok=True)
 
     from tdspa.data.providers import NpzDirectoryProvider
-    from tdspa.eval.harness import aggregate_metrics, evaluate_video
+    from tdspa.eval.harness import evaluate_model
     from tdspa.infer.checkpoint import load_checkpoint
 
     logging.info("Loading checkpoint from %s", FLAGS.checkpoint_path)
@@ -90,21 +90,16 @@ def main(argv):
             )
             indices = range(len(provider.files))
 
-        per_video = []
-        for i in indices:
-            example = provider[int(i)]
-            per_video.append(
-                evaluate_video(
-                    params,
-                    example,
-                    num_output_frames=FLAGS.num_output_frames,
-                    use_dino=FLAGS.use_dino,
-                    use_depth=FLAGS.use_depth,
-                    depth_scalings=FLAGS.depth_scalings,
-                    track_bucket=FLAGS.track_bucket,
-                )
-            )
-        all_metrics[source] = aggregate_metrics(per_video, FLAGS.depth_scalings)
+        all_metrics[source] = evaluate_model(
+            params,
+            (provider[int(i)] for i in indices),
+            num_output_frames=FLAGS.num_output_frames,
+            use_dino=FLAGS.use_dino,
+            use_depth=FLAGS.use_depth,
+            depth_scalings=FLAGS.depth_scalings,
+            track_bucket=FLAGS.track_bucket,
+            batch_size=FLAGS.batch_size,
+        )
         for scaling in FLAGS.depth_scalings:
             logging.info("  %s / %s:", source, scaling)
             for key, value in all_metrics[source][scaling].items():

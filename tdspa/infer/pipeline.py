@@ -474,7 +474,9 @@ class InferencePipeline:
                 self.use_dino,
                 self.use_depth,
             )
-        jax.block_until_ready(predictions.tracks)
+        # Host value fetch (block_until_ready returns at enqueue on
+        # remote-tunnel platforms, under-reporting this stage).
+        float(predictions.tracks.ravel()[0])
         self.timings["fused_tail"] = time.perf_counter() - t0
         logging.info("fused_tail (lift+sample+split+model): %.3fs",
                      self.timings["fused_tail"])
