@@ -22,10 +22,15 @@ plus the Depth-Anything-V2 DPT head under ``head.*``; both map onto the Flax
 modules here, with torch semantics (align-corners bilinear resizes, explicit
 fusion target sizes, final-layernorm-applied taps) reproduced exactly —
 validated against a random-init torch oracle in tests/unit/test_vda_convert.py.
-VDA's AnimateDiff-style temporal motion modules (``head.motion_modules.*``)
-are NOT yet converted — those keys are reported and dropped, and converted
-checkpoints run with ``use_temporal=False`` (per-frame DA-V2-equivalent
-depth); the ``TorchVDAProvider`` adapter remains the full-temporal route.
+VDA's AnimateDiff-style temporal motion modules
+(``head.motion_modules.{i}.temporal_transformer.*``) convert too
+(``_convert_motion_modules``; structure counts inferred from the
+state_dict). Two documented assumptions pending the real checkpoint:
+module i applies after the i-th coarsest fusion stage (their index order),
+and temporal attention windows follow ``frame_chunk`` (8 frames; VDA
+trains on 32-frame clips — raise ``frame_chunk`` for longer windows at
+more activation memory). Unmapped keys are reported loudly, and the
+``TorchVDAProvider`` adapter remains the exact-reference route.
 """
 
 from __future__ import annotations
@@ -109,6 +114,120 @@ class _FusionBlock(nn.Module):
         return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="project")(x)
 
 
+def _sinusoidal_pe(length: int, dim: int, dtype=jnp.float32):
+    """AnimateDiff PositionalEncoding buffer: interleaved sin/cos."""
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-np.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div))
+    return pe.astype(dtype)
+
+
+class _TemporalSelfAttention(nn.Module):
+    """AnimateDiff VersatileAttention (Temporal_Self): bias-free q/k/v,
+    sinusoidal positional encoding on the frame axis, to_out projection."""
+
+    channels: int
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):  # [S, T, C] — T is the sequence axis
+        s, t, c = tokens.shape
+        hd = c // self.num_heads
+        x = tokens + _sinusoidal_pe(t, c, tokens.dtype)[None]
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(x)
+
+        def heads(a):
+            return a.reshape(s, t, self.num_heads, hd)
+
+        logits = jnp.einsum(
+            "sqhd,skhd->shqk", heads(q) / np.sqrt(hd), heads(k),
+            preferred_element_type=jnp.float32,
+        )
+        probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "shqk,skhd->sqhd", probs, heads(v),
+            preferred_element_type=jnp.float32,
+        ).reshape(s, t, c)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(
+            out.astype(self.dtype)
+        )
+
+
+class _GEGLUFeedForward(nn.Module):
+    """diffusers FeedForward(GEGLU): proj -> chunk2 -> x * gelu(gate) -> out."""
+
+    channels: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.channels * self.mult * 2, dtype=self.dtype,
+                     name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.channels, dtype=self.dtype, name="out")(h)
+
+
+class _TemporalTransformerBlock(nn.Module):
+    channels: int
+    num_attention_blocks: int = 2
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):  # [S, T, C]
+        for a in range(self.num_attention_blocks):
+            normed = nn.LayerNorm(dtype=jnp.float32, name=f"norm_{a}")(tokens)
+            tokens = tokens + _TemporalSelfAttention(
+                self.channels, self.num_heads, dtype=self.dtype,
+                name=f"attention_{a}",
+            )(normed.astype(tokens.dtype))
+        normed = nn.LayerNorm(dtype=jnp.float32, name="ff_norm")(tokens)
+        return tokens + _GEGLUFeedForward(
+            self.channels, dtype=self.dtype, name="ff"
+        )(normed.astype(tokens.dtype))
+
+
+class _MotionModule(nn.Module):
+    """AnimateDiff-style TemporalTransformer3DModel as VDA uses it:
+    GroupNorm(32) -> proj_in -> temporal transformer blocks over the frame
+    axis at each spatial location -> proj_out -> + residual."""
+
+    channels: int
+    num_transformer_blocks: int = 1
+    num_attention_blocks: int = 2
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [T H W C]
+        t, h, w, c = x.shape
+        residual = x
+        normed = nn.GroupNorm(
+            num_groups=min(32, c), epsilon=1e-5, dtype=jnp.float32, name="norm"
+        )(x)
+        tokens = normed.astype(x.dtype).reshape(t, h * w, c)
+        tokens = nn.Dense(c, dtype=self.dtype, name="proj_in")(tokens)
+        # Temporal sequences: one per spatial location.
+        tokens = jnp.transpose(tokens, (1, 0, 2))  # [H*W, T, C]
+        for b in range(self.num_transformer_blocks):
+            tokens = _TemporalTransformerBlock(
+                c, self.num_attention_blocks, self.num_heads,
+                dtype=self.dtype, name=f"block_{b}",
+            )(tokens)
+        tokens = jnp.transpose(tokens, (1, 0, 2))  # [T, H*W, C]
+        tokens = nn.Dense(c, dtype=self.dtype, name="proj_out")(tokens)
+        return residual + tokens.reshape(t, h, w, c)
+
+
 class _TemporalAttention(nn.Module):
     """Self-attention over the frame axis at each spatial location."""
 
@@ -129,11 +248,22 @@ class _TemporalAttention(nn.Module):
 
 
 class DPTHead(nn.Module):
-    """DPT decode head: 4 tapped ViT feature maps -> dense depth."""
+    """DPT decode head: 4 tapped ViT feature maps -> dense depth.
+
+    Temporal options: ``use_temporal`` is the from-scratch single-stage
+    temporal attention; ``use_motion_modules`` inserts the four
+    AnimateDiff-style modules VDA's checkpoints carry
+    (``head.motion_modules.{0..3}``) — ASSUMED to pair coarse-to-fine with
+    the fusion outputs (module 0 after the coarsest refinenet), matching
+    their index order; converted weights flow via ``convert_vda_params``.
+    """
 
     features: int
     out_channels: Sequence[int]
     use_temporal: bool = True
+    use_motion_modules: bool = False
+    motion_transformer_blocks: int = 1
+    motion_attention_blocks: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -168,21 +298,36 @@ class DPTHead(nn.Module):
             )(x)
             resized.append(x)
 
+        def motion(idx, x):
+            if not self.use_motion_modules:
+                return x
+            return _MotionModule(
+                self.features,
+                num_transformer_blocks=self.motion_transformer_blocks,
+                num_attention_blocks=self.motion_attention_blocks,
+                dtype=self.dtype,
+                name=f"motion_module_{idx}",
+            )(x)
+
         path = _FusionBlock(self.features, self.dtype, name="fusion_3")(
             resized[3], out_hw=resized[2].shape[1:3]
         )
         if self.use_temporal:
             path = _TemporalAttention(self.features, dtype=self.dtype,
                                       name="temporal_3")(path)
+        path = motion(0, path)
         path = _FusionBlock(self.features, self.dtype, name="fusion_2")(
             path, resized[2], out_hw=resized[1].shape[1:3]
         )
+        path = motion(1, path)
         path = _FusionBlock(self.features, self.dtype, name="fusion_1")(
             path, resized[1], out_hw=resized[0].shape[1:3]
         )
+        path = motion(2, path)
         path = _FusionBlock(self.features, self.dtype, name="fusion_0")(
             path, resized[0]
         )
+        path = motion(3, path)
 
         h = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                     name="head_conv1")(path)
@@ -201,6 +346,8 @@ class VideoDepthEstimator:
         encoder: str = "vitb",
         params=None,
         use_temporal: bool = True,
+        use_motion_modules: bool = False,
+        motion_structure: dict | None = None,
         dtype=jnp.bfloat16,
         frame_chunk: int = 8,
         vit_config: ViTConfig | None = None,
@@ -212,10 +359,18 @@ class VideoDepthEstimator:
         self.cfg = cfg
         self.vit_config = vit_config or ViTConfig.preset(encoder)
         self.backbone = Dinov2Flax(config=self.vit_config, dtype=dtype)
+        motion_structure = motion_structure or {}
         self.head = DPTHead(
             features=cfg["features"],
             out_channels=cfg["out_channels"],
             use_temporal=use_temporal,
+            use_motion_modules=use_motion_modules,
+            motion_transformer_blocks=motion_structure.get(
+                "transformer_blocks", 1
+            ),
+            motion_attention_blocks=motion_structure.get(
+                "attention_blocks", 2
+            ),
             dtype=dtype,
         )
         self.layer_idxs = tuple(cfg["layer_idxs"])
@@ -226,13 +381,21 @@ class VideoDepthEstimator:
     def from_checkpoint(cls, path: str, encoder: str = "vitb", **kwargs):
         """Load a released ``video_depth_anything_*.pth`` natively.
 
-        Temporal motion modules are not converted (see module docstring), so
-        the estimator runs per-frame (``use_temporal=False``).
+        AnimateDiff-style temporal motion modules are converted when present
+        (structure inferred from the state_dict); the from-scratch
+        ``temporal_3`` stage stays off for converted checkpoints.
         """
         import torch
 
         state_dict = torch.load(path, map_location="cpu", weights_only=True)
-        est = cls(encoder=encoder, use_temporal=False, **kwargs)
+        structure = motion_module_structure(state_dict.keys())
+        est = cls(
+            encoder=encoder,
+            use_temporal=False,
+            use_motion_modules=structure is not None,
+            motion_structure=structure,
+            **kwargs,
+        )
         est.params = convert_vda_params(
             state_dict, encoder=encoder,
             vit_config=kwargs.get("vit_config"),
@@ -314,9 +477,12 @@ class VideoDepthEstimator:
                 t = frames.shape[0]
                 pad = (-t) % chunk
                 if pad:
+                    # Edge-replicate (not zero-pad): padded frames take part
+                    # in temporal attention, and zeros would perturb the real
+                    # frames' outputs in the final group.
                     frames = jnp.concatenate(
                         [frames,
-                         jnp.zeros((pad,) + frames.shape[1:], frames.dtype)]
+                         jnp.repeat(frames[-1:], pad, axis=0)]
                     )
                 groups = frames.reshape((-1, chunk) + frames.shape[1:])
 
@@ -509,16 +675,91 @@ def convert_vda_params(state_dict, encoder: str = "vitb",
     head["head_conv2"] = conv("head.scratch.output_conv2.0")
     head["head_conv3"] = conv("head.scratch.output_conv2.2")
 
+    _convert_motion_modules(sd, used, head, t, norm, dense)
+
     unmapped = sorted(set(sd) - used)
     if unmapped:
-        motion = [k for k in unmapped if ".motion_modules." in k]
-        other = [k for k in unmapped if ".motion_modules." not in k]
         logging.warning(
-            "convert_vda_params: %d keys not converted (%d temporal "
-            "motion-module keys, dropped by design; others: %s)",
-            len(unmapped), len(motion), other[:8],
+            "convert_vda_params: %d keys not converted: %s",
+            len(unmapped), unmapped[:10],
         )
     return {"backbone": backbone, "head": head}
+
+
+def motion_module_structure(keys) -> dict | None:
+    """Infer VDA motion-module counts from state_dict keys; None if absent.
+
+    Returns {'modules': M, 'transformer_blocks': B, 'attention_blocks': A}.
+    """
+    import re
+
+    mods, blocks, attns = set(), set(), set()
+    for k in keys:
+        m = re.match(
+            r"head\.motion_modules\.(\d+)\.temporal_transformer\."
+            r"(?:transformer_blocks\.(\d+)\.(?:attention_blocks\.(\d+)\.)?)?",
+            k,
+        )
+        if m:
+            mods.add(int(m.group(1)))
+            if m.group(2) is not None:
+                blocks.add(int(m.group(2)))
+            if m.group(3) is not None:
+                attns.add(int(m.group(3)))
+    if not mods:
+        return None
+    return {
+        "modules": max(mods) + 1,
+        "transformer_blocks": max(blocks) + 1 if blocks else 1,
+        "attention_blocks": max(attns) + 1 if attns else 1,
+    }
+
+
+def _convert_motion_modules(sd, used, head, t, norm, dense):
+    """head.motion_modules.{i}.temporal_transformer.* -> motion_module_{i}.
+
+    AnimateDiff TemporalTransformer3DModel layout: norm (GroupNorm),
+    proj_in/out, transformer_blocks.{b} with attention_blocks.{a}
+    (to_q/to_k/to_v bias-free, to_out.0, pos_encoder.pe buffer — recomputed,
+    consumed), norms.{a}, ff (GEGLU net.0.proj + net.2), ff_norm.
+    """
+    structure = motion_module_structure(sd)
+    if structure is None:
+        return
+
+    def dense_nobias(name):
+        return {"kernel": t(f"{name}.weight").T}
+
+    for i in range(structure["modules"]):
+        pre = f"head.motion_modules.{i}.temporal_transformer"
+        module: dict = {
+            "norm": norm(f"{pre}.norm"),
+            "proj_in": dense(f"{pre}.proj_in"),
+            "proj_out": dense(f"{pre}.proj_out"),
+        }
+        for b in range(structure["transformer_blocks"]):
+            bpre = f"{pre}.transformer_blocks.{b}"
+            block: dict = {
+                "ff_norm": norm(f"{bpre}.ff_norm"),
+                "ff": {
+                    "geglu_proj": dense(f"{bpre}.ff.net.0.proj"),
+                    "out": dense(f"{bpre}.ff.net.2"),
+                },
+            }
+            for a in range(structure["attention_blocks"]):
+                apre = f"{bpre}.attention_blocks.{a}"
+                block[f"norm_{a}"] = norm(f"{bpre}.norms.{a}")
+                block[f"attention_{a}"] = {
+                    "to_q": dense_nobias(f"{apre}.to_q"),
+                    "to_k": dense_nobias(f"{apre}.to_k"),
+                    "to_v": dense_nobias(f"{apre}.to_v"),
+                    "to_out": dense(f"{apre}.to_out.0"),
+                }
+                pe_key = f"{apre}.pos_encoder.pe"
+                if pe_key in sd:
+                    used.add(pe_key)  # deterministic buffer; recomputed
+            module[f"block_{b}"] = block
+        head[f"motion_module_{i}"] = module
 
 
 def extract_depth_features(

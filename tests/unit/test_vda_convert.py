@@ -149,7 +149,7 @@ class _TorchDPTHead(nn.Module):
             nn.Conv2d(32, 1, 1), nn.ReLU(True),
         )
 
-    def forward(self, taps, patch_hw, out_hw):
+    def forward(self, taps, patch_hw, out_hw, motion_modules=None):
         hp, wp = patch_hw
         rn = []
         for i, tokens in enumerate(taps):
@@ -158,37 +158,153 @@ class _TorchDPTHead(nn.Module):
             )
             x = self.resize_layers[i](self.projects[i](x))
             rn.append(getattr(self.scratch, f"layer{i + 1}_rn")(x))
+
+        def motion(idx, x):
+            return motion_modules[idx](x) if motion_modules is not None else x
+
         path = self.scratch.refinenet4(rn[3], size=rn[2].shape[2:])
+        path = motion(0, path)
         path = self.scratch.refinenet3(path, rn[2], size=rn[1].shape[2:])
+        path = motion(1, path)
         path = self.scratch.refinenet2(path, rn[1], size=rn[0].shape[2:])
+        path = motion(2, path)
         path = self.scratch.refinenet1(path, rn[0])
+        path = motion(3, path)
         out = self.scratch.output_conv1(path)
         out = F.interpolate(out, size=out_hw, mode="bilinear", align_corners=True)
         return self.scratch.output_conv2(out)
 
 
+class _TorchVersatileAttention(nn.Module):
+    """AnimateDiff VersatileAttention (Temporal_Self), diffusers-era keys."""
+
+    def __init__(self, dim, heads=8, max_len=32):
+        super().__init__()
+        self.heads = heads
+        self.to_q = nn.Linear(dim, dim, bias=False)
+        self.to_k = nn.Linear(dim, dim, bias=False)
+        self.to_v = nn.Linear(dim, dim, bias=False)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Dropout(0.0)])
+        self.pos_encoder = nn.Module()
+        position = torch.arange(max_len).unsqueeze(1).float()
+        div = torch.exp(
+            torch.arange(0, dim, 2).float() * (-math.log(10000.0) / dim)
+        )
+        pe = torch.zeros(1, max_len, dim)
+        pe[0, :, 0::2] = torch.sin(position * div)
+        pe[0, :, 1::2] = torch.cos(position * div)
+        self.pos_encoder.register_buffer("pe", pe)
+
+    def forward(self, x, video_length):
+        # x: [(t), hw, c] -> temporal sequences [(hw), t, c]
+        hw = x.shape[1]
+        x = x.permute(1, 0, 2)  # [hw, t, c]
+        x = x + self.pos_encoder.pe[:, :video_length]
+        b, t, c = x.shape
+        hd = c // self.heads
+
+        def split(a):
+            return a.reshape(b, t, self.heads, hd).permute(0, 2, 1, 3)
+
+        q, k, v = split(self.to_q(x)), split(self.to_k(x)), split(self.to_v(x))
+        attn = (q @ k.transpose(-2, -1)) / math.sqrt(hd)
+        out = (attn.softmax(-1) @ v).permute(0, 2, 1, 3).reshape(b, t, c)
+        out = self.to_out[0](out)
+        return out.permute(1, 0, 2)  # back to [(t), hw, c]
+
+
+class _TorchGEGLUFF(nn.Module):
+    def __init__(self, dim, mult=4):
+        super().__init__()
+        geglu = nn.Module()
+        geglu.proj = nn.Linear(dim, dim * mult * 2)
+        self.net = nn.ModuleList(
+            [geglu, nn.Dropout(0.0), nn.Linear(dim * mult, dim)]
+        )
+
+    def forward(self, x):
+        h, gate = self.net[0].proj(x).chunk(2, dim=-1)
+        return self.net[2](h * F.gelu(gate))
+
+
+class _TorchTemporalBlock(nn.Module):
+    def __init__(self, dim, num_attention_blocks=2):
+        super().__init__()
+        self.attention_blocks = nn.ModuleList(
+            [_TorchVersatileAttention(dim) for _ in range(num_attention_blocks)]
+        )
+        self.norms = nn.ModuleList(
+            [nn.LayerNorm(dim) for _ in range(num_attention_blocks)]
+        )
+        self.ff = _TorchGEGLUFF(dim)
+        self.ff_norm = nn.LayerNorm(dim)
+
+    def forward(self, x, video_length):
+        for attn, norm in zip(self.attention_blocks, self.norms):
+            x = attn(norm(x), video_length) + x
+        return self.ff(self.ff_norm(x)) + x
+
+
+class _TorchMotionModule(nn.Module):
+    """AnimateDiff TemporalTransformer3DModel under 'temporal_transformer'."""
+
+    def __init__(self, dim, num_transformer_blocks=1):
+        super().__init__()
+        tt = nn.Module()
+        tt.norm = nn.GroupNorm(min(32, dim), dim)
+        tt.proj_in = nn.Linear(dim, dim)
+        tt.transformer_blocks = nn.ModuleList(
+            [_TorchTemporalBlock(dim) for _ in range(num_transformer_blocks)]
+        )
+        tt.proj_out = nn.Linear(dim, dim)
+        self.temporal_transformer = tt
+
+    def forward(self, x):  # [T, C, H, W]
+        tt = self.temporal_transformer
+        t, c, h, w = x.shape
+        residual = x
+        x = tt.norm(x)
+        x = x.permute(0, 2, 3, 1).reshape(t, h * w, c)
+        x = tt.proj_in(x)
+        for block in tt.transformer_blocks:
+            x = block(x, video_length=t)
+        x = tt.proj_out(x)
+        x = x.reshape(t, h, w, c).permute(0, 3, 1, 2)
+        return residual + x
+
+
 class _TorchVDAOracle(nn.Module):
-    def __init__(self):
+    def __init__(self, with_motion=False):
         super().__init__()
         self.pretrained = _HubDino()
         self.head = _TorchDPTHead(HIDDEN)
+        if with_motion:
+            self.head.motion_modules = nn.ModuleList(
+                [_TorchMotionModule(FEATURES) for _ in range(4)]
+            )
 
     def forward(self, x, out_hw):  # x: [B 3 H W]
         taps = self.pretrained.get_intermediate_layers(x, set(LAYER_IDXS))
         hp, wp = x.shape[2] // PATCH, x.shape[3] // PATCH
-        return self.head(taps, (hp, wp), out_hw)
+        motion = getattr(self.head, "motion_modules", None)
+        return self.head(taps, (hp, wp), out_hw, motion_modules=motion)
 
 
-def _tiny_pair():
+def _tiny_pair(with_motion=False, frame_chunk=8):
     torch.manual_seed(0)
-    oracle = _TorchVDAOracle().eval()
+    oracle = _TorchVDAOracle(with_motion=with_motion).eval()
+    # Random init + the head's final ReLU can zero the whole output, which
+    # would make every comparison trivially 0 == 0; bias it positive.
+    with torch.no_grad():
+        oracle.head.scratch.output_conv2[2].bias.add_(1.0)
     vit_config = ViTConfig(hidden_size=HIDDEN, num_layers=LAYERS,
                            num_heads=HEADS, patch_size=PATCH, image_size=IMG)
     head_cfg = {"features": FEATURES, "out_channels": list(OUT_CHANNELS),
                 "layer_idxs": list(LAYER_IDXS)}
     est = VideoDepthEstimator(
-        encoder="vitb", use_temporal=False, dtype=jnp.float32,
-        vit_config=vit_config, head_cfg=head_cfg,
+        encoder="vitb", use_temporal=False,
+        use_motion_modules=with_motion, dtype=jnp.float32,
+        frame_chunk=frame_chunk, vit_config=vit_config, head_cfg=head_cfg,
     )
     est.params = convert_vda_params(
         oracle.state_dict(), encoder="vitb",
@@ -228,18 +344,64 @@ def test_depth_matches_torch_oracle():
     np.testing.assert_allclose(got, expected, atol=1e-3)
 
 
-def test_unmapped_motion_module_keys_are_dropped(caplog):
-    oracle, _ = _tiny_pair()
-    sd = dict(oracle.state_dict())
-    sd["head.motion_modules.0.temporal_transformer.proj_in.weight"] = (
-        torch.zeros(4, 4)
+def test_motion_modules_convert_and_match_torch():
+    """AnimateDiff-style temporal motion modules: full conversion parity.
+
+    The oracle carries 4 motion modules under the exact VDA key layout
+    (head.motion_modules.{i}.temporal_transformer.*) applied after each
+    fusion stage; the converted Flax estimator must reproduce the torch
+    depth, with temporal attention doing real cross-frame work.
+    """
+    # frame_chunk == the clip length: the torch oracle sees exactly these
+    # frames, so the Flax group must too (padding would join the attention).
+    oracle, est = _tiny_pair(with_motion=True, frame_chunk=4)
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(4, IMG, IMG, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(frames.transpose(0, 3, 1, 2)), (IMG, IMG)
+        ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        est._forward(est.params, jnp.asarray(frames), (IMG, IMG))
     )
+    np.testing.assert_allclose(got, expected, atol=1e-3)
+
+    # Temporal coupling is real: permuting frames changes outputs per-frame
+    # (a per-frame model would be permutation-equivariant).
+    with torch.no_grad():
+        permuted = oracle(
+            torch.from_numpy(frames[::-1].copy().transpose(0, 3, 1, 2)),
+            (IMG, IMG),
+        ).numpy().transpose(0, 2, 3, 1)[::-1]
+    assert np.abs(permuted - expected).max() > 1e-4
+
+
+def test_motion_module_structure_inference():
+    from tdspa.features.depth import motion_module_structure
+
+    oracle, _ = _tiny_pair(with_motion=True)
+    s = motion_module_structure(oracle.state_dict().keys())
+    assert s == {"modules": 4, "transformer_blocks": 1,
+                 "attention_blocks": 2}
+    assert motion_module_structure(["head.projects.0.weight"]) is None
+
+
+def test_from_checkpoint_roundtrip_with_motion(tmp_path):
+    oracle, est = _tiny_pair(with_motion=True)
+    path = str(tmp_path / "video_depth_anything_tiny.pth")
+    torch.save(oracle.state_dict(), path)
     vit_config = ViTConfig(hidden_size=HIDDEN, num_layers=LAYERS,
                            num_heads=HEADS, patch_size=PATCH, image_size=IMG)
-    params = convert_vda_params(
-        sd, encoder="vitb", vit_config=vit_config,
+    loaded = VideoDepthEstimator.from_checkpoint(
+        path, encoder="vitb", dtype=jnp.float32, vit_config=vit_config,
         head_cfg={"features": FEATURES, "out_channels": list(OUT_CHANNELS),
                   "layer_idxs": list(LAYER_IDXS)},
     )
-    flat = jax.tree_util.tree_leaves_with_path(params)
-    assert not any("motion" in str(p) for p, _ in flat)
+    assert loaded.head.use_motion_modules
+    frames = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    )
+    a = np.asarray(loaded._forward(loaded.params, frames, (IMG, IMG)))
+    b = np.asarray(est._forward(est.params, frames, (IMG, IMG)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
