@@ -83,3 +83,89 @@ def test_pipeline_lift_matches_host_op(pipeline):
     depth = ConstantDepthProvider()(video)
     expected = np.asarray(lift_2d_to_3d(jnp.asarray(tracks_2d), jnp.asarray(depth)))
     np.testing.assert_allclose(results["tracks_3d"], expected, atol=1e-5)
+
+
+def test_streamed_branch_matches_unstreamed():
+    """The TPU streamed path (chunked upload -> per-chunk track/dino/depth)
+    must equal the plain path. Only runs on TPU in production, so this
+    drives it on CPU with the Pallas tracker in interpret mode; chunk size
+    8 aligns with the depth estimator's temporal groups and the edge-
+    replicated padding makes per-chunk groups bitwise-identical to the
+    full-video grouping."""
+    import jax.numpy as jnp
+
+    from tdspa.features.depth import VideoDepthEstimator
+    from tdspa.features.dino import DinoFeatureExtractor
+    from tdspa.features.tracks import PyramidalLKTracker
+    from tdspa.features.vit import ViTConfig
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    class InterpretLK(PyramidalLKTracker):
+        def prefers_device_input(self, shape):
+            return True
+
+        def __call__(self, video):
+            t, h, w = video.shape[:3]
+            tr, vi = track_video_lk_pallas(
+                jnp.asarray(video),
+                jnp.asarray(make_query_grid(h, w, self.grid_size)),
+                num_levels=self.num_levels, window=self.window,
+                iterations=self.iterations, fb_threshold=self.fb_threshold,
+                ncc_threshold=self.ncc_threshold,
+                template_ncc_threshold=self.template_ncc_threshold,
+                interpret=True,
+            )
+            return {"tracks": tr, "visible": vi}
+
+        def track_chunks(self, chunks, interpret=True):
+            return super().track_chunks(chunks, interpret=True)
+
+    class TinyDepth(VideoDepthEstimator):
+        def __call__(self, video, input_size: int = 28):
+            return super().__call__(video, input_size=input_size)
+
+    vit_config = ViTConfig(hidden_size=32, num_layers=4, num_heads=2,
+                           patch_size=14, image_size=28)
+    depth = TinyDepth(
+        encoder="vitb", dtype=jnp.float32, vit_config=vit_config,
+        head_cfg={"features": 16, "out_channels": [8, 16, 24, 32],
+                  "layer_idxs": [0, 1, 2, 3]},
+    )
+    dino = DinoFeatureExtractor(model_name="nonexistent/tiny")  # random init
+    tracker = InterpretLK(grid_size=4, num_levels=1)
+    model = tiny_model_3d(T, use_dino=True, use_depth=True)
+    common = dict(
+        num_output_frames=T, use_dino=True, use_depth=True,
+        num_query_points=6, num_support_tracks=10,
+        track_provider=tracker, dino_extractor=dino, depth_provider=depth,
+        model=model, upload_yuv420=False, seed=0,
+    )
+    video = _video(t=T, h=32, w=40)
+
+    streamed = InferencePipeline(upload_chunk_frames=8, **common)
+    r_streamed = streamed.run_on_frames(video)
+    assert "upload_tracking_features" in r_streamed["timings"]
+
+    plain = InferencePipeline(upload_chunk_frames=0, **common)
+    r_plain = plain.run_on_frames(video)
+    assert "tracking" in r_plain["timings"]
+
+    np.testing.assert_allclose(
+        np.asarray(r_streamed["predictions"].tracks),
+        np.asarray(r_plain["predictions"].tracks),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_streamed["tracks_3d"]),
+        np.asarray(r_plain["tracks_3d"]),
+        atol=1e-4,
+    )
+
+    # YUV wire encoding on: the branch runs and stays finite (fidelity is
+    # covered by tests/unit/test_yuv.py; chroma loss shifts features
+    # slightly, so no exact comparison here).
+    yuv = InferencePipeline(
+        upload_chunk_frames=8, **{**common, "upload_yuv420": True}
+    )
+    r_yuv = yuv.run_on_frames(video)
+    assert np.isfinite(np.asarray(r_yuv["predictions"].tracks)).all()
