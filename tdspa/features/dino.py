@@ -54,7 +54,9 @@ class DinoFeatureExtractor:
         model_name: str = "facebook/dinov2-base",
         params=None,
         dtype=jnp.bfloat16,
-        frame_chunk: int = 16,
+        # 8 divides the pipeline's upload chunks (40/30 frames), so streamed
+        # per-chunk calls pad nothing (16 padded 40 -> 48, a 13% waste).
+        frame_chunk: int = 8,
     ):
         preset = _NAME_TO_PRESET.get(model_name, "vitb")
         self.config = ViTConfig.preset(preset)
