@@ -27,9 +27,9 @@ flags.DEFINE_integer("num_output_frames", 150, "Number of output frames")
 flags.DEFINE_bool("use_dino", True, "Use DINO features")
 flags.DEFINE_bool("use_depth", True, "Use depth features")
 flags.DEFINE_list(
-    "depth_scalings", ["median", "per_trajectory"],
+    "depth_scalings", ["median"],
     "Depth scaling strategies: median, per_trajectory, none "
-    "(reference default: median,per_trajectory — evaluate_tapvid3d.py:28-36)",
+    "(reference default: median — evaluate_tapvid3d.py:32-33)",
 )
 flags.DEFINE_list(
     "data_sources", ["drivetrack", "adt", "pstudio"], "Data sources to evaluate"
@@ -65,6 +65,9 @@ def main(argv):
     from tdspa.data.providers import NpzDirectoryProvider
     from tdspa.eval.harness import evaluate_model
     from tdspa.infer.checkpoint import load_checkpoint
+    from tdspa.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # multi-host (DCN) when launched as such
 
     logging.info("Loading checkpoint from %s", FLAGS.checkpoint_path)
     params = load_checkpoint(

@@ -67,6 +67,9 @@ def main(argv):
         raise ValueError("Must provide checkpoint_path")
 
     from tdspa.infer.pipeline import InferencePipeline, save_results
+    from tdspa.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # multi-host (DCN) when launched as such
 
     depth_provider = None
     if FLAGS.vda_model_path:
@@ -77,9 +80,8 @@ def main(argv):
                 encoder=FLAGS.vda_encoder, model_path=FLAGS.vda_model_path
             )
         else:
-            # Native path: convert the .pth into the Flax DPT estimator and
-            # run depth on TPU (temporal motion modules not converted — see
-            # tdspa/features/depth.py docstring).
+            # Native path: convert the .pth into the Flax DPT estimator
+            # (including temporal motion modules) and run depth on TPU.
             from tdspa.features.depth import VideoDepthEstimator
 
             depth_provider = VideoDepthEstimator.from_checkpoint(

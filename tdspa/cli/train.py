@@ -10,6 +10,8 @@ the reference: --dataset_path, --max_steps, --tiny_model, --use_wandb,
 --log_jsonl, --seq_shards.
 """
 
+import os
+
 from absl import app, flags, logging
 import jax
 
@@ -55,7 +57,12 @@ def main(argv):
     from tdspa.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
-    dataset_path = FLAGS.dataset_path or FLAGS.config_path or "./data"
+    # No explicit dataset: use ./data if present, else synthetic tracks
+    # (an explicit non-directory path means a tfds builder name and errors
+    # if tfds is missing — never silently train on synthetic data).
+    dataset_path = FLAGS.dataset_path or FLAGS.config_path or (
+        "./data" if os.path.isdir("./data") else ""
+    )
 
     loader_kwargs = dict(
         batch_size=FLAGS.batch_size,

@@ -278,15 +278,22 @@ def _resolve_provider(
     if dataset_path and os.path.isdir(dataset_path):
         return NpzDirectoryProvider(dataset_path, split=split)
     if dataset_path:
-        try:  # tfds path: dataset_path is a builder name (optional dep)
+        # tfds path: dataset_path is a builder name (optional dep). A missing
+        # tfds must NOT silently fall through to synthetic data — the user
+        # asked for a specific dataset.
+        try:
             import tensorflow_datasets as tfds  # noqa: F401
-
-            return TfdsTrackProvider(
-                dataset_path, split=split,
-                data_dir=os.environ.get("TFDS_DATA_DIR"),
-            )
-        except ImportError:
-            pass
+        except ImportError as e:
+            raise ImportError(
+                f"dataset_path={dataset_path!r} is not a directory, so it is "
+                "treated as a tfds builder name — but tensorflow_datasets is "
+                "not installed. Install tfds, or pass an npz directory, or "
+                "pass no dataset_path for synthetic data."
+            ) from e
+        return TfdsTrackProvider(
+            dataset_path, split=split,
+            data_dir=os.environ.get("TFDS_DATA_DIR"),
+        )
     # 128 videos: enough for at least one full batch at the reference's
     # batch-64 operating point.
     return SyntheticTrackProvider(

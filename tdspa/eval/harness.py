@@ -312,6 +312,9 @@ def evaluate_model(
         target = 1
         while target < real:
             target *= 2
+        # Never pad beyond the user's batch_size (a batch of 6 pads to 8
+        # otherwise, exceeding the requested memory/compute envelope).
+        target = min(target, batch_size)
         while len(items) < target:
             # Pad partial groups to the next power of two by repeating the
             # last video (results dropped): bounds both compile count

@@ -563,8 +563,10 @@ def convert_vda_params(state_dict, encoder: str = "vitb",
     ``ls{1,2}.gamma`` layerscale) onto ``Dinov2Flax`` and the
     Depth-Anything-V2 DPT head (``head.*``) onto ``DPTHead``. Returns
     ``{"backbone": ..., "head": ...}`` for ``VideoDepthEstimator``.
-    Unconverted keys (temporal ``head.motion_modules.*``, ``mask_token``,
-    the parameter-only ``refinenet4.resConfUnit1``) are logged and dropped.
+    Temporal ``head.motion_modules.{i}.temporal_transformer.*`` convert via
+    ``_convert_motion_modules`` (structure counts inferred from the state
+    dict). Unconverted keys (``mask_token``, the parameter-only
+    ``refinenet4.resConfUnit1``) are logged and dropped.
     """
     import numpy as np
 
