@@ -26,17 +26,25 @@ extension of the TAPVid Jaccard metrics):
 Metric keys match the reference's fallback dict exactly
 (evaluate_tapvid3d.py:216-231).
 
-Parity notes vs tapnet (which is not importable in this environment, so the
-vendored math is pinned by the hand-computed cases in
-tests/unit/test_metrics.py instead of a direct diff). Two definitional
-choices could differ from tapnet's exact code and are called out here so a
-future side-by-side diff is one grep away:
-* the depth-adaptive threshold uses the arithmetic focal mean (fx+fy)/2
-  (a geometric mean sqrt(fx*fy) is equally defensible; identical when
-  fx == fy, which holds for all three TAPVid-3D sources);
+Parity notes vs tapnet (not importable in this environment, so the vendored
+math is pinned by hand-computed vectors in tests/unit/test_metrics.py and the
+tapnet-semantics transcription suite in tests/unit/test_tapvid3d_parity.py
+instead of a direct import diff). Transcribed tapnet semantics honored here:
+* depth-adaptive threshold multiplier = ``z / sqrt(fx*fy)`` (geometric focal
+  mean — tapnet ``get_pointwise_threshold_multiplier``); ``within`` is a
+  STRICT ``<`` comparison (tapnet compares squared distances with ``<``).
+* tapnet squares the (signed) threshold, so a negative-depth point gets the
+  ball of its |z|; we use ``abs(z)`` directly — identical outcome.
+Documented divergences (deliberate, all immaterial on real data):
 * median/per_trajectory scaling matches medians of 3D norms over
-  gt-visible points (a z-only median is equivalent for monocular global
-  scale ambiguity, where x,y,z scale together).
+  gt-visible points (same as tapnet); for a track with ZERO visible points,
+  tapnet's ``np.median`` of an empty slice yields NaN (NaN-scaled preds then
+  fail every ``within`` test, and such tracks contribute to no
+  visible-denominator anyway); we use scale=1.0 — metric values identical,
+  without propagating NaN.
+* ``use_fixed_metric_threshold`` interprets the thresholds as raw meters;
+  tapnet's fixed-threshold table is a separate config not exercised by the
+  reference (evaluate_tapvid3d.py never sets it).
 """
 
 from __future__ import annotations
@@ -129,7 +137,8 @@ def compute_tapvid3d_metrics(
     pred_occluded = _to_nt(np.asarray(pred_occluded, bool), order)
     pred_tracks = _to_nt(np.asarray(pred_tracks, np.float64), order)
     fx, fy = float(intrinsics_params[0]), float(intrinsics_params[1])
-    focal = (fx + fy) / 2.0
+    # tapnet get_pointwise_threshold_multiplier: geometric focal mean.
+    focal = float(np.sqrt(fx * fy))
 
     num_tracks, num_frames = gt_occluded.shape
     gt_visible = ~gt_occluded
