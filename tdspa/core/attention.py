@@ -35,7 +35,12 @@ import jax.numpy as jnp
 
 def _fused_attention_applicable(q, k, mask) -> bool:
     """Fused Pallas path: TPU backend, key-only mask, VMEM-sized tiles."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    from tdspa.kernels import attention as _ka
+
+    if (
+        jax.default_backend() not in ("tpu", "axon")
+        and not _ka.INTERPRET_DEFAULT  # CPU tests force interpret kernels
+    ):
         return False
     if mask is not None and (mask.shape[-2] != 1 or mask.shape[-3] != 1):
         return False  # not a pure key (query-broadcast) mask

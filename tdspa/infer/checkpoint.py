@@ -65,7 +65,8 @@ def _load_npz(checkpoint_path: str):
 
 
 def load_checkpoint(checkpoint_path: str, model=None,
-                    projection_policy: str = "error") -> Any:
+                    projection_policy: str = "error",
+                    track_token_dim: int = 384) -> Any:
     """Load model params from any reference-supported checkpoint layout.
 
     Args:
@@ -75,6 +76,8 @@ def load_checkpoint(checkpoint_path: str, model=None,
       projection_policy: how to handle reference-layout feature projections
         (see ``adapt_reference_projections``): ``'error'`` (default) raises
         an actionable message, ``'slice'`` adapts, ``'ignore'`` loads as-is.
+      track_token_dim: the destination model's track-token width (the
+        projection adapter's target; 384 = full-size 3DSPA).
 
     Returns:
       Nested dict of parameters.
@@ -101,7 +104,9 @@ def load_checkpoint(checkpoint_path: str, model=None,
             ) and "target" in state_dict["optimizer"]:
                 params = state_dict["optimizer"]["target"]
     if projection_policy != "ignore" and isinstance(params, dict):
-        params = adapt_reference_projections(params, policy=projection_policy)
+        params = adapt_reference_projections(
+            params, track_token_dim=track_token_dim, policy=projection_policy
+        )
     return params
 
 

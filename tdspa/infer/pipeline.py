@@ -112,10 +112,10 @@ def make_mesh_tail(
     (``query_sharded_batch_spec``), so each device encodes its slice of
     tracks (XLA all-gathers/psums the latents' cross-attention over the
     track set) and decodes its slice of queries against replicated latents.
-    Params and the per-frame feature grids are replicated. The model must be
-    a plain-XLA one (``fused_attention=False``): Pallas calls have no SPMD
-    partitioning rules, so the partitioner would force replication around
-    them.
+    Params and the per-frame feature grids are replicated. Fused Pallas
+    attention stays engaged under the mesh: the kernels declare batch-axis
+    partitioning via ``custom_partitioning`` (tdspa/kernels/attention.py),
+    so each device runs them on its track/query shard.
 
     Returns a jitted ``tail(params, tracks_2d, visible, dino_grid,
     depth_maps, key)`` -> (predictions, batch, tracks_3d).
@@ -226,10 +226,10 @@ class InferencePipeline:
             dtype=dtype,
             # The fused Pallas kernel computes in bf16; only engage it when
             # bf16 compute was requested (and only on TPU — see the gate in
-            # core/attention.py). An explicit f32 pipeline stays f32. With a
-            # mesh, the tail partitions under SPMD where Pallas calls have no
-            # partitioning rules, so the mesh path is plain XLA.
-            fused_attention=(dtype == jnp.bfloat16) and mesh is None,
+            # core/attention.py). An explicit f32 pipeline stays f32. The
+            # kernels are SPMD-capable (custom_partitioning over the batch
+            # axis, tdspa/kernels/attention.py), so the mesh path keeps them.
+            fused_attention=(dtype == jnp.bfloat16),
         )
         self._mesh_tail = None
         self._track_provider = track_provider
@@ -283,6 +283,7 @@ class InferencePipeline:
             params = load_checkpoint(
                 self.checkpoint_path, self.model,
                 projection_policy=self.projection_policy,
+                track_token_dim=getattr(self.model, "track_token_dim", 384),
             )
         else:
             logging.warning("No checkpoint given; using randomly initialized params")

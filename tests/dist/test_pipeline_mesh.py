@@ -125,3 +125,72 @@ def test_sharded_train_step_no_retrace():
     assert step.cache_size() == 1, (
         f"expected exactly one trace, got {step.cache_size()}"
     )
+
+
+@requires_8
+def test_fused_kernel_spmd_batch_sharded():
+    """custom_partitioning on the Pallas kernel: a batch-sharded call equals
+    the replicated call and KEEPS the batch sharding on its output (i.e. the
+    partitioner runs the kernel per shard instead of replicating around it).
+    Interpret mode stands in for Mosaic on the CPU mesh; the real-chip
+    compile check lives in the bench/verify flow."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tdspa.kernels.attention import fused_masked_attention
+
+    rng = jax.random.PRNGKey(0)
+    b, s, kv, h, d = 16, 8, 24, 2, 8
+    q = jax.random.normal(rng, (b, s, h, d))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (b, kv, h, d))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (b, kv, h, d))
+    mask = (
+        jax.random.uniform(jax.random.fold_in(rng, 3), (b, kv)) > 0.3
+    ).astype(jnp.float32)
+
+    expected = fused_masked_attention(q, k, v, mask, interpret=True)
+
+    mesh = make_mesh(seq=2)  # 4x2: batch shards over both axes jointly
+    sh = NamedSharding(mesh, P(("data", "seq")))
+    args = [jax.device_put(x, sh) for x in (q, k, v, mask)]
+    got = jax.jit(
+        lambda *a: fused_masked_attention(*a, interpret=True)
+    )(*args)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+    assert got.sharding.spec[0] == ("data", "seq"), got.sharding
+
+
+@requires_8
+def test_mesh_tail_matches_single_device_fused(monkeypatch):
+    """VERDICT r2 #3: the mesh decode path keeps the Pallas kernels. The
+    fused model under the 4x2 mesh must equal the fused single-device tail
+    (both in interpret mode on the CPU mesh)."""
+    import tdspa.kernels.attention as ka
+
+    monkeypatch.setattr(ka, "INTERPRET_DEFAULT", True)
+
+    rng = jax.random.PRNGKey(0)
+    tracks_2d, visible, dino_grid, depth_maps = _front_end(rng)
+    model = tiny_model_3d(
+        T, use_dino=True, use_depth=True, dino_feature_dim=8,
+        fused_attention=True,
+    )
+    key = jax.random.PRNGKey(7)
+
+    ref_pred, _, _ = _run_single(
+        model, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+
+    mesh = make_mesh(seq=2)
+    tail = make_mesh_tail(mesh, model, N_SUPPORT, N_QUERIES, (H, W), True, True)
+    params = _init_params(model, tracks_2d, visible, dino_grid, depth_maps, key)
+    got_pred, _, _ = tail(params, tracks_2d, visible, dino_grid, depth_maps, key)
+
+    np.testing.assert_allclose(
+        np.asarray(got_pred.tracks), np.asarray(ref_pred.tracks), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pred.visible_logits),
+        np.asarray(ref_pred.visible_logits),
+        atol=2e-4,
+    )
