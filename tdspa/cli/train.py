@@ -50,6 +50,12 @@ flags.DEFINE_integer(
     "Chunk the decoder's query axis via nn.scan (memory knob for large "
     "batch x query products; reference track_autoencoder.py:350-382)",
 )
+flags.DEFINE_integer(
+    "grad_accum_steps", 1,
+    "Split each batch into this many microbatches and accumulate gradients "
+    "(one optimizer update per batch; memory knob for the full batch-64 x "
+    "2048-track operating point on one chip)",
+)
 
 
 def main(argv):
@@ -130,6 +136,7 @@ def main(argv):
         checkpoint_dir=FLAGS.checkpoint_dir,
         logger=logger,
         max_steps=FLAGS.max_steps,
+        grad_accum_steps=FLAGS.grad_accum_steps,
         **overrides,
     )
     logging.info("Training completed")

@@ -302,10 +302,14 @@ class InferencePipeline:
     def _timed(self, name, fn, *args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        if isinstance(out, jax.Array):
-            # Fetch one element: forces completion even on remote-tunnel
-            # platforms where block_until_ready returns at enqueue.
-            float(out.ravel()[0])
+        # Fetch one element per device array (incl. dict results, e.g. the
+        # tracker's {tracks, visible}): forces completion even on
+        # remote-tunnel platforms where block_until_ready returns at
+        # enqueue. Without this a dict-returning stage's compute silently
+        # leaks into the NEXT stage's timing.
+        for leaf in jax.tree.leaves(out):
+            if isinstance(leaf, jax.Array):
+                float(leaf.ravel()[0].astype(jnp.float32))
         self.timings[name] = time.perf_counter() - t0
         logging.info("%s: %.3fs", name, self.timings[name])
         return out
@@ -378,14 +382,18 @@ class InferencePipeline:
             )
             video_dev = jnp.concatenate(chunks, axis=0) if need_full else None
             # Sync: one host value per result chain forces completion of
-            # upload + tracking + streamed features.
+            # upload + tracking + streamed features. Fetch from the
+            # CONCATENATED feature arrays — a concat completes only when all
+            # its inputs have, so every chunk's compute is accounted to this
+            # stage rather than leaking into the fused tail's timing
+            # (round-2's mysterious "1.5 s tail" was exactly this leak).
             float(track_data["tracks"].ravel()[0])
             if dino_parts is not None:
                 dino_grid = jnp.concatenate(dino_parts, axis=0)
-                float(dino_parts[-1].ravel()[0])
+                float(dino_grid.ravel()[0])
             if depth_parts is not None:
                 depth_maps = jnp.concatenate(depth_parts, axis=0)
-                float(depth_parts[-1].ravel()[0])
+                float(depth_maps.ravel()[0])
             self.timings["upload_tracking_features"] = time.perf_counter() - t0
             logging.info(
                 "upload+tracking%s%s (streamed, overlapped): %.3fs",

@@ -37,6 +37,7 @@ def train(
     resume: bool = True,
     seed: int = 42,
     max_steps: int | None = None,
+    grad_accum_steps: int = 1,
     **model_overrides,
 ):
     """Run the training loop; returns the final TrainState.
@@ -90,7 +91,14 @@ def train(
             step=int(restored["step"]),
         )
 
-    train_step = make_train_step(model, tx, schedule, mesh=mesh)
+    if grad_accum_steps > 1:
+        from tdspa.train.step import make_grad_accum_step
+
+        train_step = make_grad_accum_step(
+            model, tx, schedule, num_microbatches=grad_accum_steps, mesh=mesh
+        )
+    else:
+        train_step = make_train_step(model, tx, schedule, mesh=mesh)
     eval_step = make_eval_step(model, mesh=mesh)
     if mesh is not None:
         # Pre-place the state replicated so every step hits ONE pjit cache

@@ -144,3 +144,40 @@ def test_train_loop_smoke(tmp_path):
         **TINY_3D,
     )
     assert int(state2.step) == 3
+
+
+def test_grad_accum_step_matches_full_batch_step():
+    """Accumulated microbatch gradients == the full-batch step (same update,
+    same metrics), since every loss is a mean and microbatches are equal."""
+    from tdspa.train import make_grad_accum_step
+
+    rng = jax.random.PRNGKey(3)
+    batch = synthetic_batch(rng, batch=4, num_frames=T, num_coords=3)
+    state, model, tx, sched = create_model_state(
+        rng, batch, model_type="3dspa", learning_rate=1e-3, warmup_steps=1,
+        total_steps=100, num_output_frames=T, use_dino=False, use_depth=False,
+        **TINY_3D,
+    )
+    full = make_train_step(model, tx, sched, donate=False)
+    accum = make_grad_accum_step(
+        model, tx, sched, num_microbatches=2, donate=False
+    )
+
+    s_full, m_full = full(state, batch)
+    s_acc, m_acc = accum(state, batch)
+
+    np.testing.assert_allclose(
+        float(m_acc["train/loss"]), float(m_full["train/loss"]), rtol=1e-4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        s_acc.params, s_full.params,
+    )
+    # And it descends over repeated steps like the plain step.
+    losses = []
+    for _ in range(4):
+        s_acc, m = accum(s_acc, batch)
+        losses.append(float(m["train/loss"]))
+    assert losses[-1] < losses[0]
