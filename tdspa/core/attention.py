@@ -126,6 +126,21 @@ class QKNormAttention(nn.Module):
     v_size: Optional[int] = None
     dtype: Any = jnp.float32
     use_fused: bool = False
+    # int8 dynamic quantization of the four projection matmuls (2x MXU
+    # rate on v5e; see tdspa/core/quant.py). Same parameter tree.
+    quantize: bool = False
+
+    def _dense_general(self, features, axis=-1, use_bias=False, name=None):
+        if self.quantize:
+            from tdspa.core.quant import QuantDenseGeneral
+
+            return QuantDenseGeneral(
+                features=features, axis=axis, use_bias=use_bias, name=name
+            )
+        return nn.DenseGeneral(
+            features=features, axis=axis, use_bias=use_bias,
+            dtype=self.dtype, name=name,
+        )
 
     @nn.compact
     def __call__(
@@ -143,28 +158,19 @@ class QKNormAttention(nn.Module):
         head_qk = self.qk_size // self.num_heads
         head_v = v_size // self.num_heads
 
-        query = nn.DenseGeneral(
-            features=(self.num_heads, head_qk),
-            use_bias=False,
-            dtype=self.dtype,
-            name="dense_query",
+        query = self._dense_general(
+            (self.num_heads, head_qk), name="dense_query"
         )(inputs_q)
-        key = nn.DenseGeneral(
-            features=(self.num_heads, head_qk),
-            use_bias=False,
-            dtype=self.dtype,
-            name="dense_key",
+        key = self._dense_general(
+            (self.num_heads, head_qk), name="dense_key"
         )(inputs_kv)
 
         # QK-norm: RMS-normalize each projected head (f32 statistics).
         query = nn.RMSNorm(dtype=jnp.float32, name="norm_query")(query)
         key = nn.RMSNorm(dtype=jnp.float32, name="norm_key")(key)
 
-        value = nn.DenseGeneral(
-            features=(self.num_heads, head_v),
-            use_bias=False,
-            dtype=self.dtype,
-            name="dense_value",
+        value = self._dense_general(
+            (self.num_heads, head_v), name="dense_value"
         )(inputs_kv)
 
         if self.use_fused and _fused_attention_applicable(query, key, mask):
@@ -174,11 +180,8 @@ class QKNormAttention(nn.Module):
                 query, key, value, mask=mask, compute_dtype=self.dtype
             )
 
-        out = nn.DenseGeneral(
-            features=inputs_q.shape[-1],
-            axis=(-2, -1),
-            use_bias=True,
-            dtype=self.dtype,
+        out = self._dense_general(
+            inputs_q.shape[-1], axis=(-2, -1), use_bias=True,
             name="dense_out",
         )(x)
         return out.astype(jnp.float32)
@@ -192,6 +195,14 @@ class ParallelTransformerBlock(nn.Module):
     qkv_size: int
     dtype: Any = jnp.float32
     use_fused: bool = False
+    quantize: bool = False
+
+    def _dense(self, features, name):
+        if self.quantize:
+            from tdspa.core.quant import QuantDense
+
+            return QuantDense(features=features, name=name)
+        return nn.Dense(features, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(
@@ -212,6 +223,7 @@ class ParallelTransformerBlock(nn.Module):
             qk_size=self.qkv_size,
             dtype=self.dtype,
             use_fused=self.use_fused,
+            quantize=self.quantize,
             name="self_att",
         )(inputs_q=normed_queries, inputs_kv=normed_queries, mask=qq_mask)
 
@@ -221,6 +233,7 @@ class ParallelTransformerBlock(nn.Module):
                 qk_size=self.qkv_size,
                 dtype=self.dtype,
                 use_fused=self.use_fused,
+                quantize=self.quantize,
                 name="cross_att",
             )(inputs_q=normed_queries, inputs_kv=inputs_kv, mask=qk_mask)
 
@@ -228,9 +241,9 @@ class ParallelTransformerBlock(nn.Module):
             use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_attn"
         )(attn_out)
         h = nn.gelu(
-            nn.Dense(self.mlp_size, dtype=self.dtype, name="MLP_in")(normed_attn_out)
+            self._dense(self.mlp_size, "MLP_in")(normed_attn_out)
         )
-        mlp_out = nn.Dense(width, dtype=self.dtype, name="MLP_out")(h)
+        mlp_out = self._dense(width, "MLP_out")(h)
         return attn_out + mlp_out.astype(jnp.float32)
 
 
@@ -249,6 +262,7 @@ class TransformerStack(nn.Module):
     num_layers: int
     dtype: Any = jnp.float32
     use_fused: bool = False
+    quantize: bool = False
 
     @nn.compact
     def __call__(
@@ -274,6 +288,7 @@ class TransformerStack(nn.Module):
                 mlp_size=self.mlp_size,
                 dtype=self.dtype,
                 use_fused=self.use_fused,
+                quantize=self.quantize,
                 name=f"layer_{i}",
             )(queries, inputs_kv=inputs_kv, qq_mask=qq_mask, qk_mask=qk_mask)
 

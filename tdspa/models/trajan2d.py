@@ -120,6 +120,10 @@ class TrackAutoEncoder(nn.Module):
     # Use the fused Pallas attention kernel on TPU where applicable
     # (key-only masks, VMEM-sized tiles); falls back to XLA elsewhere.
     fused_attention: bool = False
+    # int8 dynamic quantization of every transformer-stack projection/MLP
+    # matmul (2x MXU rate on v5e, ~90% of model FLOPs; identical param
+    # tree — see tdspa/core/quant.py). Inference-path knob.
+    quantize: bool = False
 
     # Transformer stack shapes. Defaults match the reference exactly
     # (track_autoencoder.py:148-171); exposed as config for scaling studies
@@ -154,22 +158,26 @@ class TrackAutoEncoder(nn.Module):
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.input_track_mlp, num_layers=self.input_track_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
+            quantize=self.quantize,
         )
         self.tracks_to_latents = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.tracks_to_latents_mlp,
             num_layers=self.tracks_to_latents_layers, dtype=self.dtype,
             use_fused=self.fused_attention,
+            quantize=self.quantize,
         )
         self.decompress_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.decompress_mlp, num_layers=self.decompress_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
+            quantize=self.quantize,
         )
         self.track_readout_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.readout_mlp, num_layers=self.readout_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
+            quantize=self.quantize,
         )
         self.query_encoder = nn.Dense(self.decoder_num_channels, dtype=self.dtype)
         self.track_predictor = nn.Dense(
