@@ -67,6 +67,9 @@ def main(argv):
     from tdspa.infer.checkpoint import load_checkpoint
     from tdspa.parallel.mesh import maybe_initialize_distributed
 
+    from tdspa.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # warm starts (ROADMAP r2 #9)
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
 
     logging.info("Loading checkpoint from %s", FLAGS.checkpoint_path)

@@ -69,6 +69,9 @@ def main(argv):
     from tdspa.infer.pipeline import InferencePipeline, save_results
     from tdspa.parallel.mesh import maybe_initialize_distributed
 
+    from tdspa.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # warm starts (ROADMAP r2 #9)
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
 
     depth_provider = None

@@ -62,6 +62,9 @@ def main(argv):
     del argv
     from tdspa.parallel.mesh import maybe_initialize_distributed
 
+    from tdspa.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # warm starts (ROADMAP r2 #9)
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
     # No explicit dataset: use ./data if present, else synthetic tracks
     # (an explicit non-directory path means a tfds builder name and errors
