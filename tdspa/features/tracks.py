@@ -11,9 +11,13 @@ The model contract only needs ``{'tracks': [N T 2], 'visible': [N T 1]}``
 * ``PyramidalLKTracker`` — a pure-JAX coarse-to-fine Lucas-Kanade tracker
   (tdspa.ops.lk) that runs ON the TPU: no torch dependency, keeps the
   end-to-end pipeline self-contained. Occlusion reasoning = forward-backward
-  consistency + window-NCC appearance checks (quantified against synthetic
-  ground truth in tests/unit/test_tracking_quality.py); quality remains
-  below CoTracker3's learned matching, but it is a real tracker, not a stub.
+  consistency + center-weighted window-NCC appearance checks (occlusion
+  recall >= 0.83 on every synthetic ground-truth seed at sub-0.13px
+  both-visible EPE, tests/unit/test_tracking_quality.py); ``corr_radius``
+  adds a CoTracker-style frame-0 cost-volume re-localizer for drift-heavy
+  content (docs/BENCHMARKS.md round 3 for when to enable it). Still short
+  of CoTracker3's learned matching on textureless/deforming content, but a
+  quantified tracker, not a stub.
 * ``StaticGridProvider`` — grid positions held constant; the degenerate
   fallback for smoke tests.
 """
@@ -85,8 +89,11 @@ class PyramidalLKTracker:
         window: int = 7,
         iterations: int = 4,
         fb_threshold: float = 2.0,
-        ncc_threshold: float = 0.5,
-        template_ncc_threshold: float = 0.3,
+        ncc_threshold: float = 0.7,
+        template_ncc_threshold: float = 0.5,
+        corr_radius: int = 0,
+        corr_iterations: int = 2,
+        corr_accept: float = 0.85,
         device: str = "auto",  # 'auto' | 'pallas' | 'cpu' | 'default'
     ):
         self.grid_size = grid_size
@@ -96,6 +103,9 @@ class PyramidalLKTracker:
         self.fb_threshold = fb_threshold
         self.ncc_threshold = ncc_threshold
         self.template_ncc_threshold = template_ncc_threshold
+        self.corr_radius = corr_radius
+        self.corr_iterations = corr_iterations
+        self.corr_accept = corr_accept
         self.device = device
 
     def backend_for(self, video_shape) -> str:
@@ -131,6 +141,9 @@ class PyramidalLKTracker:
             fb_threshold=self.fb_threshold,
             ncc_threshold=self.ncc_threshold,
             template_ncc_threshold=self.template_ncc_threshold,
+            corr_radius=self.corr_radius,
+            corr_iterations=self.corr_iterations,
+            corr_accept=self.corr_accept,
         )
         if backend == "pallas":
             from tdspa.kernels.lk import track_video_lk_pallas
@@ -178,6 +191,9 @@ class PyramidalLKTracker:
             fb_threshold=self.fb_threshold,
             ncc_threshold=self.ncc_threshold,
             template_ncc_threshold=self.template_ncc_threshold,
+            corr_radius=self.corr_radius,
+            corr_iterations=self.corr_iterations,
+            corr_accept=self.corr_accept,
             interpret=interpret,
         )
         queries = jnp.asarray(make_query_grid(h, w, self.grid_size))

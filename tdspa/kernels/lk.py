@@ -33,6 +33,7 @@ pixel.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,23 @@ def _window_mask(window: int, width: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, (128, width), 0) % 16
     cols = jax.lax.broadcasted_iota(jnp.int32, (128, width), 1)
     return ((rows < window) & (cols < window)).astype(jnp.float32)
+
+
+def _gauss_weight_tile(window: int, width: int):
+    """[128, W] per-strip Gaussian center weights (ops/lk._gauss_weights
+    laid out on the stacked-strip tile), normalized to sum 1 per window."""
+    r = (window - 1) / 2.0
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, width), 0) % 16
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (128, width), 1
+    ).astype(jnp.float32)
+    sigma = window / 4.0
+    w = jnp.exp(
+        -((rows - r) ** 2 + (cols - r) ** 2) / (2.0 * sigma * sigma)
+    ) * _window_mask(window, width)
+    return w / jnp.sum(w[0:16, :])
 
 
 def _expand_matrix():
@@ -87,6 +105,39 @@ def _strip_sums(arr, select):
     )  # [8, 1]
 
 
+def _load_strips(img_ref, col, row, span: int, height: int, width: int,
+                 narrow: bool):
+    """Stack 8 16-row strips with each point's block aligned to (0, 0).
+
+    col/row: [8, 1] int32 desired top-left corners; clamped so a ``span``-
+    sized block stays in frame. Returns (stacked [128, W'], clamped col
+    [8, 1], clamped row [8, 1]). Mosaic alignment rules shape this: sublane
+    dynamic slices must be 8-aligned (aligned 16-row strip + dynamic roll),
+    lane offsets cannot be dynamically sliced (dynamic roll), and
+    ``narrow`` slices each strip to its first 128 lanes after alignment.
+    """
+    strips, cols, rows = [], [], []
+    for j in range(8):
+        cj = jnp.clip(col[j, 0], 0, width - span)
+        rj = jnp.clip(row[j, 0], 0, height - span)
+        row_base = pl.multiple_of(jnp.clip((rj // 8) * 8, 0, height - 16), 8)
+        strip = img_ref[pl.ds(row_base, 16), :]  # [16, W]
+        # pltpu.roll requires non-negative shifts: left-roll by k == right-
+        # roll by (size - k).
+        strip = pltpu.roll(strip, (16 - (rj - row_base)) % 16, axis=0)
+        strip = pltpu.roll(strip, (width - cj) % width, axis=1)
+        if narrow:
+            strip = strip[:, :128]
+        strips.append(strip)
+        cols.append(cj.reshape(1, 1))
+        rows.append(rj.reshape(1, 1))
+    return (
+        jnp.concatenate(strips, axis=0),  # [128, W']
+        jnp.concatenate(cols, axis=0).astype(jnp.float32),  # [8, 1]
+        jnp.concatenate(rows, axis=0).astype(jnp.float32),
+    )
+
+
 def _sample_group(img_ref, u, v, window: int, height: int, width: int,
                   narrow: bool):
     """[128, W'] stacked bilinear window samples for 8 points.
@@ -104,22 +155,12 @@ def _sample_group(img_ref, u, v, window: int, height: int, width: int,
     ``window + 1`` columns), shrinking all stacked arithmetic 4x at W=512.
     """
     r = (window - 1) // 2
-    strips = []
-    for j in range(8):
-        uj = u[j, 0]
-        vj = v[j, 0]
-        col = jnp.clip(jnp.floor(uj).astype(jnp.int32) - r, 0, width - window - 1)
-        row = jnp.clip(jnp.floor(vj).astype(jnp.int32) - r, 0, height - window - 1)
-        row_base = pl.multiple_of(jnp.clip((row // 8) * 8, 0, height - 16), 8)
-        strip = img_ref[pl.ds(row_base, 16), :]  # [16, W]
-        # pltpu.roll requires non-negative shifts: left-roll by k == right-
-        # roll by (size - k).
-        strip = pltpu.roll(strip, (16 - (row - row_base)) % 16, axis=0)
-        strip = pltpu.roll(strip, (width - col) % width, axis=1)
-        if narrow:
-            strip = strip[:, :128]
-        strips.append(strip)
-    stacked = jnp.concatenate(strips, axis=0)  # [128, W']
+    stacked, _, _ = _load_strips(
+        img_ref,
+        jnp.floor(u).astype(jnp.int32) - r,
+        jnp.floor(v).astype(jnp.int32) - r,
+        window + 1, height, width, narrow,
+    )
     w_eff = stacked.shape[1]
 
     expand = _expand_matrix()
@@ -202,6 +243,156 @@ def _track_group_one_dir(i0_refs, i1_refs, shapes, masks, xy, window,
     return jnp.concatenate([x + dx, y + dy], axis=1), min_eig
 
 
+def _corr_refine_group(tmpl_ref, i1_ref, tq, est, window: int, radius: int,
+                       height: int, width: int, narrow: bool):
+    """Cost-volume re-localization for 8 points (oracle: ops/lk.py
+    ``_corr_refine``).
+
+    tq: [8, 2] PERSISTENT template positions (frame 0 / tmpl_ref); est:
+    [8, 2] LK estimates (frame t+1). Evaluates the NCC of the frame-0
+    template window against every integer offset in a (2*radius+1)^2 grid
+    around round(est) — the whole cost volume materializes on the stacked
+    strips via static-shift accumulation (VPU tiles, zero gathers) — and
+    returns (snapped [8, 2], peak_ncc [8, 1], center_ncc [8, 1]). The NCC
+    is center-weighted (oracle ``ops/lk._weighted_ncc`` with
+    ``_gauss_weights``): the Gaussian is separable, so the weighted window
+    sums keep the same static-roll structure with scalar per-shift weights.
+    Callers gate acceptance on the peak vs both an absolute threshold and
+    the estimate's own score (``center_ncc``, the zero-offset candidate).
+    """
+    k = 2 * radius + 1
+    r = (window - 1) // 2
+    span = k + window - 1  # union of all candidate windows (<= 15 for
+    #                        window 7 / radius 4: fits one 16-row strip)
+    select = _select_matrix()
+    expand = _expand_matrix()
+
+    # Separable per-axis Gaussian taps: w2d(dy, dx) = g[dy] * g[dx], summing
+    # to 1 over the window (matches ops/lk._gauss_weights exactly).
+    sigma = window / 4.0
+    g = [math.exp(-((d - r) ** 2) / (2.0 * sigma * sigma))
+         for d in range(window)]
+    g = [x / sum(g) for x in g]
+
+    # Frame-0 template window (bilinear, fractional) at tq, weighted-
+    # centered: that = t - sum(w * t).
+    t_raw = _sample_group(tmpl_ref, tq[:, 0:1], tq[:, 1:2], window=window,
+                          height=height, width=width, narrow=narrow)
+    w_eff = t_raw.shape[1]
+    mask_w = _window_mask(window, w_eff)
+    wt = _gauss_weight_tile(window, w_eff)
+    t_raw = t_raw * mask_w
+    that = (t_raw - _expand8(_strip_sums(t_raw * wt, select), expand)) * mask_w
+    tvar = _strip_sums(that * that * wt, select)  # [8, 1] sum(w * that^2)
+
+    # Union patch at integer base round(est) - radius - r (clamped).
+    ex = jnp.floor(est[:, 0:1] + 0.5).astype(jnp.int32)  # round half-up
+    ey = jnp.floor(est[:, 1:2] + 0.5).astype(jnp.int32)
+    patch, col, row = _load_strips(
+        i1_ref, ex - (radius + r), ey - (radius + r), span,
+        height, width, narrow,
+    )  # [128, W'], clamped bases [8, 1]
+
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (128, w_eff), 0) % 16
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (128, w_eff), 1)
+
+    # Weighted cross term C[y, x] = sum_{dy, dx} w2d * P[y+dy, x+dx] *
+    # that[dy, dx] (== cov(p, t) since sum(w * that) = 0) via 49 static
+    # shifted FMAs; that elements extract per strip through 0/1 masks.
+    corr = jnp.zeros_like(patch)
+    for dy in range(window):
+        for dx in range(window):
+            m = ((rows_iota == dy) & (cols_iota == dx)).astype(jnp.float32)
+            tval = _strip_sums(that * m, select) * (g[dy] * g[dx])  # [8, 1]
+            shifted = pltpu.roll(patch, (128 - dy) % 128, axis=0)
+            shifted = pltpu.roll(shifted, (w_eff - dx) % w_eff, axis=1)
+            corr = corr + shifted * _expand8(tval, expand)
+
+    # Weighted candidate-window moments via separable weighted sums (the
+    # Gaussian factorizes, so the roll structure is unchanged).
+    def wbox(arr):
+        acc_r = arr * g[0]
+        for dx in range(1, window):
+            acc_r = acc_r + pltpu.roll(arr, w_eff - dx, axis=1) * g[dx]
+        acc = acc_r * g[0]
+        for dy in range(1, window):
+            acc = acc + pltpu.roll(acc_r, 128 - dy, axis=0) * g[dy]
+        return acc
+
+    e1 = wbox(patch)          # sum(w * p)
+    e2 = wbox(patch * patch)  # sum(w * p^2)
+    var_p = jnp.maximum(e2 - e1 * e1, 0.0)  # sum(w * (p - mean_w)^2)
+    # Oracle eps placement: cov / (sqrt(var_p * var_t) + 1e-6).
+    ncc = corr / (jnp.sqrt(var_p * _expand8(tvar, expand)) + 1e-6)
+
+    valid = (rows_iota < k) & (cols_iota < k)
+    ncc = jnp.where(valid, ncc, -2.0)
+
+    # Per-strip argmax: strip max via aligned static slices, index via
+    # equality masks (float ties are measure-zero).
+    maxes = []
+    for j in range(8):
+        block = ncc[16 * j : 16 * (j + 1), :]
+        maxes.append(jnp.max(jnp.max(block, axis=0, keepdims=True),
+                             axis=1, keepdims=True))
+    peak = jnp.concatenate(maxes, axis=0)  # [8, 1]
+    eq = ((ncc == _expand8(peak, expand)) & valid).astype(jnp.float32)
+    count = _strip_sums(eq, select)
+    ox = _strip_sums(eq * cols_iota.astype(jnp.float32), select) / count
+    oy = _strip_sums(eq * rows_iota.astype(jnp.float32), select) / count
+
+    # Zero-offset candidate (the LK estimate's own score). The candidate
+    # grid anchors at the CLAMPED base, so the center offset is the
+    # estimate's position relative to it (static only when unclamped).
+    ccol = jnp.clip(ex.astype(jnp.float32) - r - col, 0, k - 1)
+    crow = jnp.clip(ey.astype(jnp.float32) - r - row, 0, k - 1)
+    m_center = (
+        (cols_iota.astype(jnp.float32) == _expand8(ccol, expand))
+        & (rows_iota.astype(jnp.float32) == _expand8(crow, expand))
+    ).astype(jnp.float32)
+    center = _strip_sums(ncc * m_center, select)  # [8, 1]
+
+    # Tile position (oy, ox) = image position (row + oy + r, col + ox + r).
+    snapped = jnp.concatenate([col + ox + r, row + oy + r], axis=1)  # [8, 2]
+    return snapped, peak, center
+
+
+def _gn_polish_group(i0_ref, i1_ref, grp, start, window: int,
+                     iterations: int, height: int, width: int, narrow: bool,
+                     mask):
+    """Finest-level Gauss-Newton from ``start`` (sub-pixel polish after the
+    integer cost-volume snap). Returns [8, 2]."""
+    select = _select_matrix()
+    px = grp[:, 0:1]
+    py = grp[:, 1:2]
+    samp0 = functools.partial(_sample_group, i0_ref, window=window,
+                              height=height, width=width, narrow=narrow)
+    t_win = samp0(px, py)
+    ix = (samp0(px + 0.5, py) - samp0(px - 0.5, py)) * mask
+    iy = (samp0(px, py + 0.5) - samp0(px, py - 0.5)) * mask
+    gxx = _strip_sums(ix * ix, select)
+    gxy = _strip_sums(ix * iy, select)
+    gyy = _strip_sums(iy * iy, select)
+    det = gxx * gyy - gxy * gxy
+    inv_det = jnp.where(jnp.abs(det) > 1e-8, 1.0 / det, 0.0)
+    samp1 = functools.partial(_sample_group, i1_ref, window=window,
+                              height=height, width=width, narrow=narrow)
+
+    def body(_, carry):
+        cdx, cdy = carry
+        resid = samp1(px + cdx, py + cdy) - t_win
+        bxv = _strip_sums(resid * ix, select)
+        byv = _strip_sums(resid * iy, select)
+        cdx = cdx - inv_det * (gyy * bxv - gxy * byv)
+        cdy = cdy - inv_det * (-gxy * bxv + gxx * byv)
+        return cdx, cdy
+
+    dx, dy = jax.lax.fori_loop(
+        0, iterations, body, (start[:, 0:1] - px, start[:, 1:2] - py)
+    )
+    return jnp.concatenate([px + dx, py + dy], axis=1)
+
+
 def _lk_pair_kernel(
     queries_ref,  # [N, 2] f32
     template_pos_ref,  # [N, 2] f32 — positions for the persistent template
@@ -212,6 +403,9 @@ def _lk_pair_kernel(
     fb_threshold: float,
     ncc_threshold: float,
     template_ncc_threshold: float,
+    corr_radius: int,
+    corr_iterations: int,
+    corr_accept: float,
     shapes: tuple,
     narrow: bool,
 ):
@@ -245,6 +439,23 @@ def _lk_pair_kernel(
         fwd, min_eig = _track_group_one_dir(
             i0_refs, i1_refs, shapes, masks, grp, window, iterations, narrow
         )
+        if corr_radius > 0:
+            # Drift-free re-localization (ops/lk.py is the oracle): snap to
+            # the frame-0 template's weighted-NCC peak + sub-pixel GN
+            # polish, accepted only where the peak is strong AND clearly
+            # beats the estimate's own score (un-drifted tracks are left
+            # alone: no integer-snap bias, no occlusion-recall cost).
+            tq = template_pos_ref[pl.ds(base, 8), :]  # [8, 2]
+            snapped, peak, center = _corr_refine_group(
+                tmpl_ref, i1_refs[0], tq, fwd, window, corr_radius,
+                height, width, narrow,
+            )
+            polished = _gn_polish_group(
+                i0_refs[0], i1_refs[0], grp, snapped, window,
+                corr_iterations, height, width, narrow, masks[0],
+            )
+            accept = (peak > corr_accept) & (peak > center + 0.1)
+            fwd = jnp.where(accept, polished, fwd)
         nx = fwd[:, 0:1]
         ny = fwd[:, 1:2]
         in_bounds = (
@@ -263,22 +474,27 @@ def _lk_pair_kernel(
             )  # [8, 1]
             visible &= fb_err < fb_threshold
         if ncc_threshold > -1.0 or template_ncc_threshold > -1.0:
-            # Occlusion reasoning: NCC of the tracked window vs (a) the
-            # previous frame and (b) the persistent template frame (same
-            # math as ops/lk, on stacked strips).
+            # Occlusion reasoning: center-weighted NCC of the tracked window
+            # vs (a) the previous frame and (b) the persistent template
+            # frame (same math as ops/lk._weighted_ncc, on stacked strips —
+            # center weighting makes "the POINT is covered" dominate even
+            # when an occluder only clips the window edge).
             select = _select_matrix()
             expand = _expand_matrix()
             mask0 = masks[0]
-            k_count = float(window * window)
+            wt = _gauss_weight_tile(window, mask0.shape[1])
 
             def centered(win):
                 win = win * mask0
-                mean = _strip_sums(win, select) / k_count
+                mean = _strip_sums(win * wt, select)  # weights sum to 1
                 return (win - _expand8(mean, expand)) * mask0
 
             def ncc_of(am, bm):
-                cov = _strip_sums(am * bm, select)  # [8, 1]
-                var = _strip_sums(am * am, select) * _strip_sums(bm * bm, select)
+                cov = _strip_sums(am * bm * wt, select)  # [8, 1]
+                var = (
+                    _strip_sums(am * am * wt, select)
+                    * _strip_sums(bm * bm * wt, select)
+                )
                 return cov / (jnp.sqrt(var) + 1e-6)
 
             samp1 = functools.partial(
@@ -315,7 +531,8 @@ def _lk_pair_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_levels", "window", "iterations", "fb_threshold",
-                     "ncc_threshold", "template_ncc_threshold", "narrow",
+                     "ncc_threshold", "template_ncc_threshold",
+                     "corr_radius", "corr_iterations", "corr_accept", "narrow",
                      "interpret"),
 )
 def track_video_lk_pallas(
@@ -325,8 +542,11 @@ def track_video_lk_pallas(
     window: int = 7,
     iterations: int = 4,
     fb_threshold: float = 2.0,
-    ncc_threshold: float = 0.5,
-    template_ncc_threshold: float = 0.3,
+    ncc_threshold: float = 0.7,
+    template_ncc_threshold: float = 0.5,
+    corr_radius: int = 0,
+    corr_iterations: int = 2,
+    corr_accept: float = 0.85,
     template_frame=None,  # [H W] f32 gray; default = this video's frame 0
     template_pos=None,  # [N 2] f32; default = queries
     narrow: bool = True,
@@ -344,6 +564,11 @@ def track_video_lk_pallas(
     if window > 7:
         raise ValueError("track_video_lk_pallas supports window <= 7 "
                          "(samples live in an 8-row register tile)")
+    if corr_radius > 0 and 2 * corr_radius + window - 1 > 15:
+        raise ValueError(
+            "corr_radius too large: the candidate-window union "
+            f"(2*{corr_radius} + {window} - 1) must fit a 16-row strip"
+        )
     gray = _to_gray(jnp.asarray(video))
     num_frames, height, width = gray.shape
     # Every level must be >= one full (8, 128) register tile: Mosaic rejects
@@ -396,6 +621,9 @@ def track_video_lk_pallas(
         fb_threshold=float(fb_threshold),
         ncc_threshold=float(ncc_threshold),
         template_ncc_threshold=float(template_ncc_threshold),
+        corr_radius=int(corr_radius),
+        corr_iterations=int(corr_iterations),
+        corr_accept=float(corr_accept),
         shapes=shapes,
         narrow=narrow and width >= 128,
     )
@@ -414,6 +642,17 @@ def track_video_lk_pallas(
             jax.ShapeDtypeStruct((num_frames - 1, num_points, 1), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((num_points, 2), jnp.float32)],
+        # The cost-volume refinement's live set (union patch + weighted
+        # moments + 49-tap cross term, all [128, W'] stacked tiles) pushes
+        # the per-step scoped stack past Mosaic's conservative 16 MB
+        # default; staged blocks here total < 12 MB double-buffered, so
+        # v5e's 128 MiB VMEM has ample headroom (measured OOM: 20.55M at
+        # corr_radius=4, T=150, 512x512, 3 levels).
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+            if corr_radius > 0
+            else None
+        ),
         interpret=interpret,
     )(*operands)
 

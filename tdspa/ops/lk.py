@@ -107,16 +107,80 @@ def _lk_level(i0, i1, pts, disp, window: int, iterations: int):
     return disp, min_eig
 
 
+def _gauss_weights(window: int):
+    """[K] center-emphasizing weights (sigma = window/4, sum = 1).
+
+    The occlusion contract is "the POINT is covered": a flat window NCC
+    stays high while an occluder boundary clips only the window's edge, so
+    edge-grazing occlusions leak through. Center weighting makes the center
+    pixels dominate the correlation statistics.
+    """
+    offs = _window_offsets(window)  # [K 2] centered
+    sigma = window / 4.0
+    w = jnp.exp(-jnp.sum(offs * offs, -1) / (2.0 * sigma * sigma))
+    return w / jnp.sum(w)
+
+
+def _weighted_ncc(a, b, w):
+    """Center-weighted NCC of patch rows a, b [..., K] with weights w [K]."""
+    am = a - jnp.sum(a * w, -1, keepdims=True)
+    bm = b - jnp.sum(b * w, -1, keepdims=True)
+    cov = jnp.sum(w * am * bm, -1)
+    var = jnp.sum(w * am * am, -1) * jnp.sum(w * bm * bm, -1)
+    return cov / (jnp.sqrt(var) + 1e-6)
+
+
 def _window_ncc(i0, i1, pts0, pts1, window: int):
-    """Normalized cross-correlation of the [window x window] patches at
-    pts0 in i0 and pts1 in i1. Returns [N] in [-1, 1]."""
+    """Center-weighted NCC of the [window x window] patches at pts0 in i0
+    and pts1 in i1. Returns [N] in [-1, 1]."""
     offs = _window_offsets(window)  # [K 2]
     a = _bilinear(i0, pts0[:, None, :] + offs[None])  # [N K]
     b = _bilinear(i1, pts1[:, None, :] + offs[None])
-    am = a - a.mean(axis=-1, keepdims=True)
-    bm = b - b.mean(axis=-1, keepdims=True)
-    denom = jnp.sqrt(jnp.sum(am * am, -1) * jnp.sum(bm * bm, -1)) + 1e-6
-    return jnp.sum(am * bm, -1) / denom
+    return _weighted_ncc(a, b, _gauss_weights(window))
+
+
+def _corr_refine(template_raw, i1, pts1, window: int, radius: int):
+    """Local cost-volume matching (RAFT/CoTracker-style discrete lookup).
+
+    LK's Gauss-Newton descends the brightness-constancy residual frame to
+    frame — errors compound as drift and the tracker never recovers a point
+    it lost. This pass evaluates the center-weighted NCC of the PERSISTENT
+    frame-0 template (``template_raw`` [N K]) against every integer offset
+    in a ``(2*radius+1)^2`` search grid around the current estimate
+    (``pts1`` in ``i1``) — one [K, K] correlation tile per point, batched
+    over all points — and returns the peak. Center weighting (same
+    ``_gauss_weights`` as the visibility checks) keeps the matched POINT in
+    charge of the score, not the window edges.
+
+    Returns (snapped_pts [N 2], peak_ncc [N], center_ncc [N]) where
+    ``center_ncc`` is the score at the zero-offset candidate (the current
+    estimate). Matching the ORIGINAL appearance makes this a drift-free
+    re-localizer: callers accept the snap only when the peak is strong AND
+    materially better than the current estimate's own score — a weak peak
+    means the original appearance is absent (occlusion/appearance change),
+    and a peak no better than the estimate means LK already converged
+    (snapping would only add integer-grid bias).
+    """
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dx, dy = jnp.meshgrid(d, d)
+    cand = jnp.stack([dx.ravel(), dy.ravel()], axis=-1)  # [C 2]
+    # floor(x + 0.5) == round-half-up, matching the Pallas kernel (jnp.round
+    # rounds half to even, which diverges at exact .5 positions).
+    centers = jnp.floor(pts1 + 0.5)[:, None, :] + cand[None]  # [N C 2]
+    offs = _window_offsets(window)
+    patches = _bilinear(
+        i1, centers[:, :, None, :] + offs[None, None]
+    )  # [N C K]
+    ncc = _weighted_ncc(
+        template_raw[:, None, :], patches, _gauss_weights(window)
+    )  # [N C]
+
+    best = jnp.argmax(ncc, axis=-1)  # [N]
+    peak = jnp.take_along_axis(ncc, best[:, None], axis=-1)[:, 0]
+    snapped = jnp.take_along_axis(
+        centers, best[:, None, None], axis=1
+    )[:, 0]
+    return snapped, peak, ncc[:, ncc.shape[1] // 2]
 
 
 def _track_pair(pyr0, pyr1, pts, window: int, iterations: int):
@@ -148,22 +212,42 @@ def build_pyramid(gray, num_levels: int):
     jax.jit,
     static_argnames=(
         "num_levels", "window", "iterations", "fb_threshold", "ncc_threshold",
-        "template_ncc_threshold",
+        "template_ncc_threshold", "corr_radius", "corr_iterations",
     ),
 )
 def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
-               ncc_threshold, template_ncc_threshold):
+               ncc_threshold, template_ncc_threshold, corr_radius=4,
+               corr_iterations=2, corr_accept=0.85):
     t, h, w = gray.shape
     pyramids = build_pyramid(gray, num_levels)  # list of [T h w]
     offs = _window_offsets(window)
-    template = _bilinear(pyramids[0][0], queries[:, None, :] + offs[None])
-    template = template - template.mean(axis=-1, keepdims=True)  # [N K]
-    template_norm = jnp.sqrt(jnp.sum(template * template, -1))
+    gauss_w = _gauss_weights(window)
+    template_raw = _bilinear(
+        pyramids[0][0], queries[:, None, :] + offs[None]
+    )  # [N K] — frame-0 appearance, shared by the template-NCC visibility
+    #            check and the cost-volume re-localizer
 
     def step(pts, idx):
         p0 = [lvl[idx] for lvl in pyramids]
         p1 = [lvl[idx + 1] for lvl in pyramids]
         new_pts, min_eig = _track_pair(p0, p1, pts, window, iterations)
+        if corr_radius > 0:
+            # Drift-free re-localization: snap to the frame-0 template's NCC
+            # peak near the LK estimate, GN-polish for sub-pixel, and accept
+            # ONLY where (a) the peak is strong — weak peaks mean the
+            # original appearance is absent (occlusion/appearance change),
+            # where the LK estimate + NCC occlusion checks must stay in
+            # charge — AND (b) the peak beats the current estimate's own
+            # score by a clear margin — an un-drifted track is left alone
+            # (no integer-snap bias, no occlusion-recall cost).
+            snapped, peak, center = _corr_refine(
+                template_raw, p1[0], new_pts, window, corr_radius
+            )
+            disp, _ = _lk_level(
+                p0[0], p1[0], pts, snapped - pts, window, corr_iterations
+            )
+            accept = ((peak > corr_accept) & (peak > center + 0.1))[:, None]
+            new_pts = jnp.where(accept, pts + disp, new_pts)
         in_bounds = (
             (new_pts[:, 0] >= 0)
             & (new_pts[:, 0] <= w - 1)
@@ -189,9 +273,7 @@ def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
             # appearance identifies the point as lost for the whole
             # occlusion, not just its onset frame.
             patch = _bilinear(p1[0], new_pts[:, None, :] + offs[None])
-            patch = patch - patch.mean(axis=-1, keepdims=True)
-            denom = template_norm * jnp.sqrt(jnp.sum(patch * patch, -1)) + 1e-6
-            t_ncc = jnp.sum(template * patch, -1) / denom
+            t_ncc = _weighted_ncc(template_raw, patch, gauss_w)
             visible &= t_ncc > template_ncc_threshold
         clamped = jnp.stack(
             [jnp.clip(new_pts[:, 0], 0, w - 1), jnp.clip(new_pts[:, 1], 0, h - 1)],
@@ -216,8 +298,11 @@ def track_video_lk(
     window: int = 7,
     iterations: int = 4,
     fb_threshold: float = 2.0,
-    ncc_threshold: float = 0.5,
-    template_ncc_threshold: float = 0.3,
+    ncc_threshold: float = 0.7,
+    template_ncc_threshold: float = 0.5,
+    corr_radius: int = 0,
+    corr_iterations: int = 2,
+    corr_accept: float = 0.85,
 ):
     """Track query points through a video.
 
@@ -225,6 +310,11 @@ def track_video_lk(
     point occluded. ``template_ncc_threshold``: same against the frame-0
     query-position template (persistent-occlusion detection; looser default
     since appearance drifts over time). Either <= -1 disables that check.
+    ``corr_radius``: drift-free re-localization after LK — snap to the
+    frame-0 template's NCC peak within this integer radius (then
+    ``corr_iterations`` of sub-pixel Gauss-Newton), accepted only where the
+    peak exceeds ``corr_accept`` (<= 0 radius disables; see
+    ``_corr_refine``).
 
     Returns (tracks [N T 2] float32, visible [N T 1] float32).
     """
@@ -238,5 +328,8 @@ def track_video_lk(
         float(fb_threshold),
         float(ncc_threshold),
         float(template_ncc_threshold),
+        int(corr_radius),
+        int(corr_iterations),
+        float(corr_accept),
     )
     return tracks, visible[..., None].astype(jnp.float32)

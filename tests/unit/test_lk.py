@@ -55,7 +55,14 @@ def test_static_video_stays_put():
 
 
 def test_pallas_lk_matches_xla_oracle():
-    """The Pallas patch-slice kernel (interpret mode) == the XLA tracker."""
+    """The Pallas patch-slice kernel (interpret mode) == the XLA tracker.
+
+    ``corr_radius=0``: the discrete cost-volume argmax can tie-flip between
+    adjacent candidates at float precision on this smooth sinusoid scene
+    (both paths then GN-polish to equivalent minima); the snap itself is
+    parity-tested on a sharp-peak texture in
+    ``test_pallas_corr_refine_matches_xla_oracle``.
+    """
     import jax.numpy as jnp
 
     from tdspa.kernels.lk import track_video_lk_pallas
@@ -66,16 +73,56 @@ def test_pallas_lk_matches_xla_oracle():
         [[20.0, 30.0], [32.0, 32.0], [40.0, 20.0], [25.0, 40.0]], np.float32
     )
     ref_tracks, ref_vis = track_video_lk(
-        video, queries, num_levels=2, window=7, iterations=8
+        video, queries, num_levels=2, window=7, iterations=8, corr_radius=0
     )
     got_tracks, got_vis = track_video_lk_pallas(
         video, jnp.asarray(queries), num_levels=2, window=7, iterations=8,
-        interpret=True,
+        corr_radius=0, interpret=True,
     )
     np.testing.assert_allclose(
         np.asarray(got_tracks), np.asarray(ref_tracks), atol=0.05
     )
     np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(ref_vis))
+
+
+def _noise_video(t, h, w, vx, vy, seed=3):
+    """Integer-shifted hard random texture: NCC peaks are unambiguous."""
+    rng = np.random.default_rng(seed)
+    big = rng.integers(0, 255, (h + 64, w + 64)).astype(np.uint8)
+    frames = []
+    for i in range(t):
+        ox, oy = 32 - int(round(vx * i)), 32 - int(round(vy * i))
+        frames.append(big[oy : oy + h, ox : ox + w])
+    return np.repeat(np.stack(frames)[..., None], 3, axis=-1)
+
+
+def test_pallas_corr_refine_matches_xla_oracle():
+    """Cost-volume refinement parity on a scene with sharp, unambiguous
+    correlation peaks (integer-translating white noise): kernel == oracle."""
+    import jax.numpy as jnp
+
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    T, H, W = 5, 64, 64
+    video = _noise_video(T, H, W, 3.0, -2.0)
+    queries = np.array(
+        [[20.0, 30.0], [32.0, 32.0], [40.0, 28.0], [25.0, 40.0]], np.float32
+    )
+    # iterations=1 under-converges LK on purpose so the snap does real work.
+    common = dict(num_levels=1, window=7, iterations=1, corr_radius=4)
+    ref_tracks, ref_vis = track_video_lk(video, queries, **common)
+    got_tracks, got_vis = track_video_lk_pallas(
+        video, jnp.asarray(queries), interpret=True, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tracks), np.asarray(ref_tracks), atol=0.05
+    )
+    np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(ref_vis))
+    # And the refinement genuinely locks onto the integer motion.
+    expected = queries[:, None, :] + np.stack(
+        [3.0 * np.arange(T), -2.0 * np.arange(T)], -1
+    )[None]
+    np.testing.assert_allclose(np.asarray(got_tracks), expected, atol=0.35)
 
 
 def test_pallas_lk_pads_point_count():

@@ -30,9 +30,10 @@ def test_lk_position_quality(seed):
     video, gt_tracks, gt_vis, tracker = _scene_and_tracker(seed)
     q = tracking_quality(tracker(video), gt_tracks, gt_vis)
     # Localization: most gt-visible points within 2px; claimed-visible
-    # points sub-pixel on average.
+    # points sub-pixel on average (round-3 bar: center-weighted NCC marks
+    # drifting points occluded, so both-visible EPE tightened 0.75 -> 0.3).
     assert q["pts_within_2"] > 0.9, q
-    assert q["epe_both_visible"] < 0.75, q
+    assert q["epe_both_visible"] < 0.3, q
     assert q["visible_recall"] > 0.9, q
 
 
@@ -40,7 +41,10 @@ def test_lk_position_quality(seed):
 def test_lk_occlusion_detection(seed):
     video, gt_tracks, gt_vis, tracker = _scene_and_tracker(seed)
     q = tracking_quality(tracker(video), gt_tracks, gt_vis)
-    assert q["occlusion_recall"] > 0.5, q
+    # Round-3 bar (VERDICT r2 #2): >= 0.8 on every seed (was 0.5; the
+    # round-2 spread was 0.56-0.93). Center-weighted NCC + raised
+    # thresholds get 0.956/0.836/0.851 (docs/BENCHMARKS.md round 3).
+    assert q["occlusion_recall"] > 0.8, q
     assert q["visibility_accuracy"] > 0.9, q
 
 
@@ -69,7 +73,7 @@ def test_fast_config_quality(seed):
     )
     q = tracking_quality(tracker(video), gt_tracks, gt_vis)
     assert q["pts_within_2"] > 0.9, q
-    assert q["occlusion_recall"] > 0.5, q
+    assert q["occlusion_recall"] > 0.8, q
     assert q["visible_recall"] > 0.9, q
     assert q["visibility_accuracy"] > 0.9, q
 
