@@ -203,6 +203,7 @@ class InferencePipeline:
         upload_chunk_frames: int = 40,
         upload_yuv420: bool = True,
         projection_policy: str = "error",
+        quantize: bool = False,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -230,6 +231,9 @@ class InferencePipeline:
             # kernels are SPMD-capable (custom_partitioning over the batch
             # axis, tdspa/kernels/attention.py), so the mesh path keeps them.
             fused_attention=(dtype == jnp.bfloat16),
+            # int8 dynamic quantization of projection/MLP matmuls (same
+            # param tree; tdspa/core/quant.py) — inference-only FLOP cut.
+            quantize=quantize,
         )
         self._mesh_tail = None
         self._track_provider = track_provider

@@ -95,3 +95,31 @@ def test_train_batch_spec_covers_all_keys():
     batch = synthetic_batch(rng, batch=8, num_frames=T, with_features=True)
     specs = train_batch_spec()
     assert set(batch.keys()) <= set(specs.keys())
+
+
+@requires_8
+def test_quantized_forward_sharded_matches_single_device():
+    """int8 dynamic quantization composes with mesh sharding: per-token
+    activation scales and per-feature weight scales are local to each
+    shard's rows, so the sharded forward matches to within an int8
+    rounding bucket (different tilings may reassociate the max/round by
+    1 ulp and flip a handful of buckets — not bit-identical)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(
+        rng, batch=8, num_support=8, num_queries=8, num_frames=T
+    )
+    model = tiny_model_3d(T, use_dino=False, use_depth=False, quantize=True)
+    params = model.init(jax.random.PRNGKey(1), batch)["params"]
+    out1 = jax.jit(model.apply)({"params": params}, batch)
+
+    mesh = make_mesh()
+    sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+        for k, v in batch.items()
+    }
+    out2 = jax.jit(model.apply)({"params": params}, sharded)
+    a, b = np.asarray(out1.tracks), np.asarray(out2.tracks)
+    np.testing.assert_allclose(a, b, atol=0.05)
+    assert np.mean(np.abs(a - b) < 1e-6) > 0.99  # almost all exact

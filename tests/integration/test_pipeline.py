@@ -169,3 +169,24 @@ def test_streamed_branch_matches_unstreamed():
     )
     r_yuv = yuv.run_on_frames(video)
     assert np.isfinite(np.asarray(r_yuv["predictions"].tracks)).all()
+
+
+def test_pipeline_quantized_model_runs():
+    """quantize plumbs to the internally-built model, and a quantized model
+    runs the pipeline end-to-end with finite outputs."""
+    assert InferencePipeline(quantize=True).model.quantize is True
+
+    model = tiny_model_3d(T, use_dino=False, use_depth=True, quantize=True)
+    pipe = InferencePipeline(
+        num_output_frames=T,
+        use_dino=False,
+        use_depth=True,
+        num_query_points=6,
+        num_support_tracks=10,
+        track_provider=StaticGridProvider(grid_size=4),
+        depth_provider=ConstantDepthProvider(),
+        model=model,
+    )
+    preds = pipe.run_on_frames(_video())["predictions"]
+    assert preds.tracks.shape == (1, 6, T, 3)
+    assert np.isfinite(np.asarray(preds.tracks)).all()
