@@ -1,22 +1,27 @@
-"""Benchmark: query-track decodes/sec/chip at the reference operating point.
+"""Benchmark: the BASELINE.json north star, measured end to end.
 
-Runs the flagship 3DSPA model (full reference hyperparameters, T=150) on
-whatever accelerator JAX exposes, at the BASELINE.json configuration:
-512 query points + 2048 support tracks with DINO+depth features, batch 1 —
-the single-video inference regime.
+Default mode runs BOTH measurements at the reference operating point
+(150-frame 512x512 video, 512 query points + 2048 support tracks, batch 1)
+and prints ONE JSON line headlined by the north-star metric:
 
-Prints ONE JSON line:
-  {"metric": "query_track_decodes_per_sec_per_chip", "value": N,
-   "unit": "decodes/s", "vs_baseline": R}
+  {"metric": "e2e_compute_seconds_per_video_150f_512q_2048s",
+   "value": N, "unit": "s/video", "vs_baseline": 5.0 / N,
+   "compute_only_s": ..., "total_with_transport_s": ...,
+   "transport_upload_s": ..., "stage_timings_s": {...},
+   "decodes_per_sec_per_chip": ...}
 
-``vs_baseline`` is value / 102.4: the north-star target rate implied by
-BASELINE.json (512 queries in < 5 s end-to-end) — >1.0 means the model
-forward alone beats the whole-pipeline target budget.
+* ``value`` / ``compute_only_s``: the full pipeline (LK 64x64-grid
+  tracking + DINOv2 + depth + fused lift/sample/split/model tail) with the
+  video pre-staged device-resident — the on-chip cost a production host
+  (GB/s DMA) sees. vs_baseline > 1.0 beats the <5 s/video north star.
+* ``total_with_transport_s`` / ``transport_upload_s``: the streamed path
+  including this dev rig's tunnel relay, reported separately because relay
+  bandwidth swings ~50x over hours (docs/BENCHMARKS.md).
+* ``decodes_per_sec_per_chip``: the model-forward micro-benchmark
+  (rounds 1-2's headline metric; kept for round-over-round comparability).
 
-Set ``BENCH_MODE=e2e`` for the full-pipeline measurement instead: a
-150-frame 512x512 video through LK tracking (64x64 grid), batched DINOv2
-features, depth, and the fused lift+sample+split+model tail; reports
-seconds/video with vs_baseline = 5.0 / seconds (>1.0 beats the north star).
+``BENCH_MODE=decode`` runs only the micro-benchmark (fast);
+``BENCH_MODE=e2e`` runs only the pipeline measurement.
 """
 
 import json
@@ -32,14 +37,17 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def measure_decode():
+    """Model-forward micro-benchmark -> decode-rate JSON dict."""
     from tdspa.models import TrackAutoEncoder3D
     from tdspa.utils.testing import synthetic_batch
 
     T, N_SUPPORT, N_QUERY = 150, 2048, 512
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
     model = TrackAutoEncoder3D(
-        num_output_frames=T, dtype=jnp.bfloat16, fused_attention=fused
+        num_output_frames=T, dtype=jnp.bfloat16, fused_attention=fused,
+        quantize=quant,
     )
     batch = synthetic_batch(
         jax.random.PRNGKey(0),
@@ -89,19 +97,15 @@ def main():
 
     decodes_per_sec = N_QUERY / dt
     target_rate = N_QUERY / 5.0  # north-star: 512 queries e2e in < 5 s
-    print(
-        json.dumps(
-            {
-                "metric": "query_track_decodes_per_sec_per_chip",
-                "value": round(decodes_per_sec, 2),
-                "unit": "decodes/s",
-                "vs_baseline": round(decodes_per_sec / target_rate, 3),
-            }
-        )
-    )
+    return {
+        "metric": "query_track_decodes_per_sec_per_chip",
+        "value": round(decodes_per_sec, 2),
+        "unit": "decodes/s",
+        "vs_baseline": round(decodes_per_sec / target_rate, 3),
+    }
 
 
-def main_e2e():
+def measure_e2e():
     """Full-pipeline measurement, split three ways (VERDICT r2 #1/#8):
 
     * ``compute_only`` (the headline ``value``): the video pre-staged
@@ -153,7 +157,7 @@ def main_e2e():
 
     def stage(v):
         v_dev = jax.device_put(v)
-        float(v_dev.ravel()[0].astype(jnp.float32))  # upload OUTSIDE timer
+        float(jnp.sum(v_dev.astype(jnp.float32)))  # upload OUTSIDE timer
         return v_dev
 
     compute_s, compute_runs, compute_results = median3(
@@ -167,7 +171,7 @@ def main_e2e():
     t0 = time.perf_counter()
     planes = [jnp.asarray(p) for p in (y, u, v_)]
     for p in planes:
-        float(p.ravel()[0].astype(jnp.float32))
+        float(jnp.sum(p.astype(jnp.float32)))
     transport_s = time.perf_counter() - t0
 
     # --- total: streamed production path (upload overlapped with compute).
@@ -176,29 +180,32 @@ def main_e2e():
     pipe_stream.run_on_frames(video)  # warmup/compiles
     total_s, total_runs, _ = median3(pipe_stream.run_on_frames)
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_compute_seconds_per_video_150f_512q_2048s",
-                "value": round(compute_s, 3),
-                "unit": "s/video",
-                "vs_baseline": round(5.0 / compute_s, 3),
-                "compute_only_s": round(compute_s, 3),
-                "compute_runs_s": [round(t, 3) for t in compute_runs],
-                "total_with_transport_s": round(total_s, 3),
-                "total_runs_s": [round(t, 3) for t in total_runs],
-                "transport_upload_s": round(transport_s, 3),
-                "stage_timings_s": {
-                    k: round(v, 3)
-                    for k, v in compute_results["timings"].items()
-                },
-            }
-        )
-    )
+    return {
+        "metric": "e2e_compute_seconds_per_video_150f_512q_2048s",
+        "value": round(compute_s, 3),
+        "unit": "s/video",
+        "vs_baseline": round(5.0 / compute_s, 3),
+        "compute_only_s": round(compute_s, 3),
+        "compute_runs_s": [round(t, 3) for t in compute_runs],
+        "total_with_transport_s": round(total_s, 3),
+        "total_runs_s": [round(t, 3) for t in total_runs],
+        "transport_upload_s": round(transport_s, 3),
+        "stage_timings_s": {
+            k: round(v, 3) for k, v in compute_results["timings"].items()
+        },
+    }
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "e2e":
-        main_e2e()
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "e2e":
+        print(json.dumps(measure_e2e()))
+    elif mode == "decode":
+        print(json.dumps(measure_decode()))
     else:
-        main()
+        # Driver default: the north-star e2e metric is the headline; the
+        # rounds-1/2 decode rate rides along for comparability.
+        decode = measure_decode()
+        report = measure_e2e()
+        report["decodes_per_sec_per_chip"] = decode["value"]
+        print(json.dumps(report))

@@ -306,14 +306,17 @@ class InferencePipeline:
     def _timed(self, name, fn, *args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        # Fetch one element per device array (incl. dict results, e.g. the
+        # Fetch a host value per device array (incl. dict results, e.g. the
         # tracker's {tracks, visible}): forces completion even on
         # remote-tunnel platforms where block_until_ready returns at
         # enqueue. Without this a dict-returning stage's compute silently
-        # leaks into the NEXT stage's timing.
+        # leaks into the NEXT stage's timing. A device-side sum (not
+        # ravel/index) — indexing a tiled array can force a full relayout
+        # copy, catastrophically padded for trailing dims < 128 (42x for
+        # a [T, H, W, 3] frame stack).
         for leaf in jax.tree.leaves(out):
             if isinstance(leaf, jax.Array):
-                float(leaf.ravel()[0].astype(jnp.float32))
+                float(jnp.sum(leaf.astype(jnp.float32)))
         self.timings[name] = time.perf_counter() - t0
         logging.info("%s: %.3fs", name, self.timings[name])
         return out
@@ -391,13 +394,13 @@ class InferencePipeline:
             # its inputs have, so every chunk's compute is accounted to this
             # stage rather than leaking into the fused tail's timing
             # (round-2's mysterious "1.5 s tail" was exactly this leak).
-            float(track_data["tracks"].ravel()[0])
+            float(jnp.sum(track_data["tracks"]))
             if dino_parts is not None:
                 dino_grid = jnp.concatenate(dino_parts, axis=0)
-                float(dino_grid.ravel()[0])
+                float(jnp.sum(dino_grid.astype(jnp.float32)))
             if depth_parts is not None:
                 depth_maps = jnp.concatenate(depth_parts, axis=0)
-                float(depth_maps.ravel()[0])
+                float(jnp.sum(depth_maps.astype(jnp.float32)))
             self.timings["upload_tracking_features"] = time.perf_counter() - t0
             logging.info(
                 "upload+tracking%s%s (streamed, overlapped): %.3fs",
@@ -489,7 +492,7 @@ class InferencePipeline:
             )
         # Host value fetch (block_until_ready returns at enqueue on
         # remote-tunnel platforms, under-reporting this stage).
-        float(predictions.tracks.ravel()[0])
+        float(jnp.sum(predictions.tracks))
         self.timings["fused_tail"] = time.perf_counter() - t0
         logging.info("fused_tail (lift+sample+split+model): %.3fs",
                      self.timings["fused_tail"])
