@@ -97,6 +97,7 @@ def run_tpu(args):
         num_output_frames=t, use_dino=True, use_depth=True,
         dtype=jnp.bfloat16,
         decoder_scan_chunk_size=args.decoder_scan_chunk_size,
+        encoder_scan_chunk_size=args.encoder_scan_chunk_size,
     )
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"params: {n_params/1e6:.1f}M")
@@ -204,6 +205,7 @@ def main():
     p.add_argument("--grad_accum", type=int, default=2)
     p.add_argument("--num_frames", type=int, default=150)
     p.add_argument("--decoder_scan_chunk_size", type=int, default=256)
+    p.add_argument("--encoder_scan_chunk_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=3)
     args = p.parse_args()
     print("devices:", jax.devices())

@@ -47,6 +47,16 @@ flags.DEFINE_string(
     "auto | cotracker | lk | static | npz:<path-to-tracks.npz>",
 )
 flags.DEFINE_integer("seed", 0, "Support/query split RNG seed")
+flags.DEFINE_integer(
+    "tracker_corr_radius", 0,
+    "LK tracker: cost-volume re-localization radius (0 disables; drift "
+    "recovery for long/fast-motion content)",
+)
+flags.DEFINE_integer(
+    "tracker_corr_rescue_level", 0,
+    "LK tracker: also search the cost volume at this pyramid level "
+    "(covers radius * 2^level px — fast-motion re-acquisition; 0 disables)",
+)
 
 
 def _build_track_provider():
@@ -58,7 +68,11 @@ def _build_track_provider():
     if choice == "cotracker":
         return T.CoTrackerProvider(grid_size=FLAGS.tracking_grid_size)
     if choice == "lk":
-        return T.PyramidalLKTracker(grid_size=FLAGS.tracking_grid_size)
+        return T.PyramidalLKTracker(
+            grid_size=FLAGS.tracking_grid_size,
+            corr_radius=FLAGS.tracker_corr_radius,
+            corr_rescue_level=FLAGS.tracker_corr_rescue_level,
+        )
     if choice == "static":
         return T.StaticGridProvider(grid_size=FLAGS.tracking_grid_size)
     return None  # auto: cotracker if importable else LK

@@ -51,6 +51,12 @@ flags.DEFINE_integer(
     "batch x query products; reference track_autoencoder.py:350-382)",
 )
 flags.DEFINE_integer(
+    "encoder_scan_chunk_size", None,
+    "Chunk the encoder's support-track axis via nn.scan + remat (memory "
+    "knob: bounds the [B,N,T,qkv] encoder activations that dominate the "
+    "full 2048-track operating point)",
+)
+flags.DEFINE_integer(
     "grad_accum_steps", 1,
     "Split each batch into this many microbatches and accumulate gradients "
     "(one optimizer update per batch; memory knob for the full batch-64 x "
@@ -121,6 +127,8 @@ def main(argv):
         overrides = dict(TINY_3D)
     if FLAGS.decoder_scan_chunk_size:
         overrides["decoder_scan_chunk_size"] = FLAGS.decoder_scan_chunk_size
+    if FLAGS.encoder_scan_chunk_size:
+        overrides["encoder_scan_chunk_size"] = FLAGS.encoder_scan_chunk_size
 
     logging.info("devices: %s", jax.devices())
     train(

@@ -94,6 +94,7 @@ class PyramidalLKTracker:
         corr_radius: int = 0,
         corr_iterations: int = 2,
         corr_accept: float = 0.85,
+        corr_rescue_level: int = 0,
         device: str = "auto",  # 'auto' | 'pallas' | 'cpu' | 'default'
     ):
         self.grid_size = grid_size
@@ -106,6 +107,7 @@ class PyramidalLKTracker:
         self.corr_radius = corr_radius
         self.corr_iterations = corr_iterations
         self.corr_accept = corr_accept
+        self.corr_rescue_level = corr_rescue_level
         self.device = device
 
     def backend_for(self, video_shape) -> str:
@@ -144,6 +146,7 @@ class PyramidalLKTracker:
             corr_radius=self.corr_radius,
             corr_iterations=self.corr_iterations,
             corr_accept=self.corr_accept,
+            corr_rescue_level=self.corr_rescue_level,
         )
         if backend == "pallas":
             from tdspa.kernels.lk import track_video_lk_pallas
@@ -194,10 +197,12 @@ class PyramidalLKTracker:
             corr_radius=self.corr_radius,
             corr_iterations=self.corr_iterations,
             corr_accept=self.corr_accept,
+            corr_rescue_level=self.corr_rescue_level,
             interpret=interpret,
         )
         queries = jnp.asarray(make_query_grid(h, w, self.grid_size))
         pos = queries
+        vel = jnp.zeros_like(queries)
         # The persistent appearance template is the ORIGINAL first frame at
         # the original query positions for every chunk — identical to the
         # single-call path's template.
@@ -210,9 +215,10 @@ class PyramidalLKTracker:
                 if prev_last is None
                 else jnp.concatenate([prev_last[jnp.newaxis], c], axis=0)
             )
-            tr, vi = track_video_lk_pallas(
+            tr, vi, vel = track_video_lk_pallas(
                 seg, pos, template_frame=template_frame,
-                template_pos=queries, **kwargs,
+                template_pos=queries, init_velocity=vel,
+                return_velocity=True, **kwargs,
             )  # [N Ts 2]
             if prev_last is not None:
                 tr, vi = tr[:, 1:], vi[:, 1:]

@@ -183,17 +183,25 @@ def _sample_group(img_ref, u, v, window: int, height: int, width: int,
 
 
 def _track_group_one_dir(i0_refs, i1_refs, shapes, masks, xy, window,
-                         iterations, narrow):
+                         iterations, narrow, init_disp=None):
     """Coarse-to-fine LK for a group of 8 points, fully stacked.
 
-    xy: [8, 2] start positions. Returns (new_xy [8, 2], min_eig [8, 1]).
+    xy: [8, 2] start positions; ``init_disp``: optional [8, 2] full-res
+    displacement prior seeding the coarsest level (constant-velocity
+    prior — oracle ``ops/lk._track_pair``). Returns (new_xy [8, 2],
+    min_eig [8, 1]).
     """
     num_levels = len(i0_refs)
     select = _select_matrix()
     x = xy[:, 0:1]  # [8, 1]
     y = xy[:, 1:2]
-    dx = jnp.zeros((8, 1), jnp.float32)
-    dy = jnp.zeros((8, 1), jnp.float32)
+    if init_disp is None:
+        dx = jnp.zeros((8, 1), jnp.float32)
+        dy = jnp.zeros((8, 1), jnp.float32)
+    else:
+        coarse = 2.0 ** (num_levels - 1)
+        dx = init_disp[:, 0:1] / coarse
+        dy = init_disp[:, 1:2] / coarse
     min_eig = jnp.zeros((8, 1), jnp.float32)
 
     for lvl in reversed(range(num_levels)):
@@ -396,7 +404,9 @@ def _gn_polish_group(i0_ref, i1_ref, grp, start, window: int,
 def _lk_pair_kernel(
     queries_ref,  # [N, 2] f32
     template_pos_ref,  # [N, 2] f32 — positions for the persistent template
-    *refs,  # tmpl frame + 2L frame refs + (tracks, vis) outputs + pos scratch
+    init_vel_ref,  # [N, 2] f32 — velocity-prior seed (chunk continuation)
+    *refs,  # tmpl frame(s) + 2L frame refs + (tracks, vis, vel) outputs
+    #         + (pos, vel) scratch
     num_levels: int,
     window: int,
     iterations: int,
@@ -406,13 +416,21 @@ def _lk_pair_kernel(
     corr_radius: int,
     corr_iterations: int,
     corr_accept: float,
+    rescue_level: int,
     shapes: tuple,
     narrow: bool,
 ):
     tmpl_ref = refs[0]  # finest-level template frame (persistent, index 0)
-    level_refs = refs[1 : 1 + 2 * num_levels]
-    tracks_ref, vis_ref = refs[1 + 2 * num_levels : 3 + 2 * num_levels]
-    pos_ref = refs[3 + 2 * num_levels]
+    n_tmpl = 1
+    if corr_radius > 0 and rescue_level > 0:
+        tmpl_rescue_ref = refs[1]  # rescue-level template frame
+        n_tmpl = 2
+    level_refs = refs[n_tmpl : n_tmpl + 2 * num_levels]
+    tracks_ref, vis_ref, vel_out_ref = refs[
+        n_tmpl + 2 * num_levels : n_tmpl + 3 + 2 * num_levels
+    ]
+    pos_ref = refs[n_tmpl + 3 + 2 * num_levels]
+    vel_ref = refs[n_tmpl + 4 + 2 * num_levels]
 
     i0_refs = [level_refs[2 * l] for l in range(num_levels)]
     i1_refs = [level_refs[2 * l + 1] for l in range(num_levels)]
@@ -427,6 +445,7 @@ def _lk_pair_kernel(
     @pl.when(t == 0)
     def _():
         pos_ref[:] = queries_ref[:]
+        vel_ref[:] = init_vel_ref[:]
 
     num_points = queries_ref.shape[0]
 
@@ -436,26 +455,86 @@ def _lk_pair_kernel(
     def group_body(g, _):
         base = pl.multiple_of(g * 8, 8)
         grp = pos_ref[pl.ds(base, 8), :]  # [8, 2]
+        vel = vel_ref[pl.ds(base, 8), :]  # [8, 2] constant-velocity prior
         fwd, min_eig = _track_group_one_dir(
-            i0_refs, i1_refs, shapes, masks, grp, window, iterations, narrow
+            i0_refs, i1_refs, shapes, masks, grp, window, iterations, narrow,
+            init_disp=vel,
         )
         if corr_radius > 0:
-            # Drift-free re-localization (ops/lk.py is the oracle): snap to
-            # the frame-0 template's weighted-NCC peak + sub-pixel GN
-            # polish, accepted only where the peak is strong AND clearly
-            # beats the estimate's own score (un-drifted tracks are left
-            # alone: no integer-snap bias, no occlusion-recall cost).
+            # Drift-free re-localization (ops/lk.py is the oracle):
+            # cost-volume snaps (fine level + the rescue level, whose
+            # +-radius grid spans radius * 2^lvl full-res pixels) are
+            # GN-polished at the finest level, every candidate is verified
+            # by the fine template's center-weighted NCC at its polished
+            # position, and the verified argmax must beat the LK
+            # estimate's own score by a clear margin.
+            select = _select_matrix()
+            expand = _expand_matrix()
+            mask0 = masks[0]
+            wt = _gauss_weight_tile(window, mask0.shape[1])
             tq = template_pos_ref[pl.ds(base, 8), :]  # [8, 2]
-            snapped, peak, center = _corr_refine_group(
+
+            def centered(win):
+                win = win * mask0
+                mean = _strip_sums(win * wt, select)
+                return (win - _expand8(mean, expand)) * mask0
+
+            def ncc_of(am, bm):
+                cov = _strip_sums(am * bm * wt, select)
+                var = (
+                    _strip_sums(am * am * wt, select)
+                    * _strip_sums(bm * bm * wt, select)
+                )
+                return cov / (jnp.sqrt(var) + 1e-6)
+
+            samp1 = functools.partial(
+                _sample_group, i1_refs[0], window=window,
+                height=height, width=width, narrow=narrow,
+            )
+            samp_t = functools.partial(
+                _sample_group, tmpl_ref, window=window,
+                height=height, width=width, narrow=narrow,
+            )
+            tm = centered(samp_t(tq[:, 0:1], tq[:, 1:2]))
+
+            def template_score(pxy):
+                return ncc_of(tm, centered(samp1(pxy[:, 0:1], pxy[:, 1:2])))
+
+            snapped, _, _ = _corr_refine_group(
                 tmpl_ref, i1_refs[0], tq, fwd, window, corr_radius,
                 height, width, narrow,
             )
-            polished = _gn_polish_group(
-                i0_refs[0], i1_refs[0], grp, snapped, window,
-                corr_iterations, height, width, narrow, masks[0],
+            candidates = [
+                _gn_polish_group(
+                    i0_refs[0], i1_refs[0], grp, snapped, window,
+                    corr_iterations, height, width, narrow, masks[0],
+                )
+            ]
+            if rescue_level > 0:
+                lvl = rescue_level
+                scale = 2.0 ** lvl
+                h_c, w_c = shapes[lvl]
+                snap_c, _, _ = _corr_refine_group(
+                    tmpl_rescue_ref, i1_refs[lvl], tq / scale, fwd / scale,
+                    window, corr_radius, h_c, w_c, narrow,
+                )
+                candidates.append(
+                    _gn_polish_group(
+                        i0_refs[0], i1_refs[0], grp, snap_c * scale, window,
+                        corr_iterations, height, width, narrow, masks[0],
+                    )
+                )
+            score_lk = template_score(fwd)  # [8, 1]
+            best, best_score = fwd, score_lk
+            for cand in candidates:
+                s = template_score(cand)
+                better = s > best_score
+                best = jnp.where(better, cand, best)
+                best_score = jnp.maximum(best_score, s)
+            accept = (
+                (best_score > corr_accept) & (best_score > score_lk + 0.1)
             )
-            accept = (peak > corr_accept) & (peak > center + 0.1)
-            fwd = jnp.where(accept, polished, fwd)
+            fwd = jnp.where(accept, best, fwd)
         nx = fwd[:, 0:1]
         ny = fwd[:, 1:2]
         in_bounds = (
@@ -465,9 +544,12 @@ def _lk_pair_kernel(
         if fb_threshold > -1.0:
             # Skippable (fb_threshold <= -1): halves kernel cost; see
             # ops/lk.py and the tracking-quality benchmark.
+            # Backward seeds from the negated forward displacement (the
+            # constant-velocity prior's mirror): without it, fast motion the
+            # prior recovered would flunk FB purely on pull-in range.
             bwd, _ = _track_group_one_dir(
                 i1_refs, i0_refs, shapes, masks, fwd, window, iterations,
-                narrow,
+                narrow, init_disp=grp - fwd,
             )
             fb_err = jnp.sqrt(
                 jnp.sum((bwd - grp) ** 2, axis=1, keepdims=True)
@@ -521,6 +603,12 @@ def _lk_pair_kernel(
             [jnp.clip(nx, 0, width - 1), jnp.clip(ny, 0, height - 1)], axis=1
         )  # [8, 2]
         pos_ref[pl.ds(base, 8), :] = new_pos
+        # Velocity carry, clipped so a garbage displacement (lost track)
+        # cannot fling the next frame's search arbitrarily far (oracle:
+        # ops/lk._track_all).
+        new_vel = jnp.clip(new_pos - grp, -32.0, 32.0)
+        vel_ref[pl.ds(base, 8), :] = new_vel
+        vel_out_ref[pl.ds(base, 8), :] = new_vel
         tracks_ref[pl.ds(base, 8), :] = new_pos
         vis_ref[pl.ds(base, 8), :] = visible.astype(jnp.float32)
         return 0
@@ -532,8 +620,9 @@ def _lk_pair_kernel(
     jax.jit,
     static_argnames=("num_levels", "window", "iterations", "fb_threshold",
                      "ncc_threshold", "template_ncc_threshold",
-                     "corr_radius", "corr_iterations", "corr_accept", "narrow",
-                     "interpret"),
+                     "corr_radius", "corr_iterations", "corr_accept",
+                     "corr_rescue_level", "narrow", "interpret",
+                     "return_velocity"),
 )
 def track_video_lk_pallas(
     video,  # [T H W 3] uint8/float
@@ -547,10 +636,13 @@ def track_video_lk_pallas(
     corr_radius: int = 0,
     corr_iterations: int = 2,
     corr_accept: float = 0.85,
+    corr_rescue_level: int = 0,
     template_frame=None,  # [H W] f32 gray; default = this video's frame 0
     template_pos=None,  # [N 2] f32; default = queries
+    init_velocity=None,  # [N 2] f32 velocity-prior seed; default zeros
     narrow: bool = True,
     interpret: bool = False,
+    return_velocity: bool = False,
 ):
     """TPU-resident LK tracking; same contract as tdspa.ops.lk.track_video_lk.
 
@@ -558,6 +650,9 @@ def track_video_lk_pallas(
     source for the appearance check — chunked tracking passes the original
     video's first frame + original queries so every chunk checks against the
     same template (chunk-parity with the single-call path).
+    ``init_velocity``/``return_velocity`` chain the constant-velocity prior
+    across chunk boundaries the same way (pass the previous chunk's returned
+    velocity as the next chunk's seed).
     """
     from tdspa.ops.lk import _to_gray, build_pyramid
 
@@ -581,6 +676,9 @@ def track_video_lk_pallas(
     if template_pos is None:
         template_pos = queries
     template_pos = jnp.asarray(template_pos, jnp.float32)
+    if init_velocity is None:
+        init_velocity = jnp.zeros_like(queries)
+    init_velocity = jnp.asarray(init_velocity, jnp.float32)
     if pad:
         queries = jnp.concatenate(
             [queries, jnp.zeros((pad, 2), jnp.float32)], axis=0
@@ -588,21 +686,39 @@ def track_video_lk_pallas(
         template_pos = jnp.concatenate(
             [template_pos, jnp.zeros((pad, 2), jnp.float32)], axis=0
         )
+        init_velocity = jnp.concatenate(
+            [init_velocity, jnp.zeros((pad, 2), jnp.float32)], axis=0
+        )
     num_points = queries.shape[0]
     pyramids = build_pyramid(gray, num_levels)
     shapes = tuple((p.shape[1], p.shape[2]) for p in pyramids)
     if template_frame is None:
         template_frame = gray[0]
     template_frame = jnp.asarray(template_frame, jnp.float32)
+    rescue_level = int(corr_rescue_level) if corr_radius > 0 else 0
+    rescue_level = min(rescue_level, num_levels - 1)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # queries (full)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # template positions (full)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # init velocity (full)
         # Template frame: fixed block index — stays VMEM-staged every step.
         pl.BlockSpec((height, width), lambda t: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [queries, template_pos, template_frame]
+    operands = [queries, template_pos, init_velocity, template_frame]
+    if rescue_level > 0:
+        # Rescue-level template frame: the template's own pyramid level
+        # (same downsampling as the video pyramid).
+        tmpl_rescue = build_pyramid(
+            template_frame[None], rescue_level + 1
+        )[rescue_level][0]
+        h_r, w_r = shapes[rescue_level]
+        in_specs.append(
+            pl.BlockSpec((h_r, w_r), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(tmpl_rescue)
     for lvl in range(num_levels):
         h_l, w_l = shapes[lvl]
         operands += [pyramids[lvl], pyramids[lvl]]
@@ -624,10 +740,11 @@ def track_video_lk_pallas(
         corr_radius=int(corr_radius),
         corr_iterations=int(corr_iterations),
         corr_accept=float(corr_accept),
+        rescue_level=rescue_level,
         shapes=shapes,
         narrow=narrow and width >= 128,
     )
-    tracks, vis = pl.pallas_call(
+    tracks, vis, vel_final = pl.pallas_call(
         kernel,
         grid=(num_frames - 1,),
         in_specs=in_specs,
@@ -636,22 +753,28 @@ def track_video_lk_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, num_points, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            # Final velocity: constant block index — last grid step wins.
+            pl.BlockSpec((num_points, 2), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_frames - 1, num_points, 2), jnp.float32),
             jax.ShapeDtypeStruct((num_frames - 1, num_points, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_points, 2), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((num_points, 2), jnp.float32)],
-        # The cost-volume refinement's live set (union patch + weighted
-        # moments + 49-tap cross term, all [128, W'] stacked tiles) pushes
-        # the per-step scoped stack past Mosaic's conservative 16 MB
-        # default; staged blocks here total < 12 MB double-buffered, so
-        # v5e's 128 MiB VMEM has ample headroom (measured OOM: 20.55M at
-        # corr_radius=4, T=150, 512x512, 3 levels).
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-            if corr_radius > 0
-            else None
+        scratch_shapes=[
+            pltpu.VMEM((num_points, 2), jnp.float32),  # positions
+            pltpu.VMEM((num_points, 2), jnp.float32),  # velocity prior
+        ],
+        # The kernel's live set (stacked [128, W'] strip tiles; with
+        # corr_radius also the cost-volume union patch + weighted moments +
+        # 49-tap cross term) pushes the per-step scoped stack past Mosaic's
+        # conservative 16 MB default (measured: 20.55M at corr_radius=4,
+        # 18.0M for the plain config with the velocity prior; T=150,
+        # 512x512, 3 levels). Staged blocks here total < 12 MB
+        # double-buffered, so v5e's 128 MiB VMEM has ample headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
@@ -662,7 +785,10 @@ def track_video_lk_pallas(
     visible = jnp.concatenate(
         [jnp.ones((1, num_points, 1), jnp.float32), vis], axis=0
     )[:, :num_points_orig]
-    return (
+    out = (
         jnp.transpose(tracks, (1, 0, 2)),
         jnp.transpose(visible, (1, 0, 2)),
     )
+    if return_velocity:
+        return out + (vel_final[:num_points_orig],)
+    return out

@@ -59,6 +59,14 @@ class TrackAutoEncoder3D(nn.Module):
     use_dino: bool = True
     use_depth: bool = True
     decoder_scan_chunk_size: int | None = None
+    # Memory-bounded ENCODE: nn.scan + remat over contiguous support-track
+    # chunks (the per-track temporal transformer is independent across
+    # tracks, so chunked == unchunked exactly). The reference has no
+    # encoder-side memory knob — its decoder-only nn.scan
+    # (track_autoencoder.py:350-382) leaves the [B,N,T+1,qkv] encoder
+    # activations unbounded, which is what blocks the batch-64 x 2048-track
+    # operating point on a 16 GB chip.
+    encoder_scan_chunk_size: int | None = None
     dtype: Any = jnp.float32
     # Use the fused Pallas attention kernel on TPU where applicable
     # (key-only masks, VMEM-sized tiles); falls back to XLA elsewhere.
@@ -183,13 +191,58 @@ class TrackAutoEncoder3D(nn.Module):
         return track_tokens[..., 0, :]
 
     def encode(self, inputs: TrackAutoEncoder3DInputs):  # -> float['B 128 96']
-        support_track_tokens = self.encode_tracks(
-            tracks=inputs["support_tracks"],
-            visible=inputs["support_tracks_visible"],
-            restart=inputs["boundary_frame"],
-            dino_features=inputs.get("dino_features"),
-            depth_features=inputs.get("depth_features"),
-        )
+        if self.encoder_scan_chunk_size is None:
+            support_track_tokens = self.encode_tracks(
+                tracks=inputs["support_tracks"],
+                visible=inputs["support_tracks_visible"],
+                restart=inputs["boundary_frame"],
+                dino_features=inputs.get("dino_features"),
+                depth_features=inputs.get("depth_features"),
+            )
+        else:
+            # Chunk the N (support-track) axis; remat the body so backward
+            # holds one chunk's activations at a time.
+            h = self.encoder_scan_chunk_size
+            num_tracks = inputs["support_tracks"].shape[-3]
+            if num_tracks % h:
+                raise ValueError(
+                    f"encoder_scan_chunk_size={h} must divide the support "
+                    f"track count {num_tracks}"
+                )
+
+            def chunk(x):  # [... (G H) T C] -> [... G H T C]
+                return einops.rearrange(x, "... (G H) T C -> ... G H T C", H=h)
+
+            xs = {
+                "tracks": chunk(inputs["support_tracks"]),
+                "visible": chunk(inputs["support_tracks_visible"]),
+            }
+            if inputs.get("dino_features") is not None:
+                xs["dino"] = chunk(inputs["dino_features"])
+            if inputs.get("depth_features") is not None:
+                xs["depth"] = chunk(inputs["depth_features"])
+
+            def scan_fn(mdl, carry, xs):
+                tokens = mdl.encode_tracks(
+                    tracks=xs["tracks"],
+                    visible=xs["visible"],
+                    restart=inputs["boundary_frame"],
+                    dino_features=xs.get("dino"),
+                    depth_features=xs.get("depth"),
+                )
+                return carry, tokens
+
+            scan = nn.scan(
+                nn.remat(scan_fn, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False, "default": True},
+                in_axes=-4,
+                out_axes=-3,
+            )
+            _, tokens = scan(self, False, xs)  # [... G H D]
+            support_track_tokens = einops.rearrange(
+                tokens, "... G H D -> ... (G H) D", H=h
+            )
         latents = self.initializer(
             batch_shape=(inputs["support_tracks"].shape[0],)
         )

@@ -116,6 +116,9 @@ class TrackAutoEncoder(nn.Module):
     encoder_latent_dim: int = 512
     decoder_num_channels: int = 1024
     decoder_scan_chunk_size: int | None = None
+    # Memory-bounded encode: nn.scan + remat over support-track chunks
+    # (per-track encode is independent across tracks; chunked == unchunked).
+    encoder_scan_chunk_size: int | None = None
     dtype: Any = jnp.float32
     # Use the fused Pallas attention kernel on TPU where applicable
     # (key-only masks, VMEM-sized tiles); falls back to XLA elsewhere.
@@ -220,11 +223,47 @@ class TrackAutoEncoder(nn.Module):
         )
 
     def encode(self, inputs: TrackAutoEncoderInputs):  # -> float['B 128 64']
-        support_track_tokens = self.encode_tracks(
-            tracks=inputs["support_tracks"],
-            visible=inputs["support_tracks_visible"],
-            restart=inputs["boundary_frame"],
-        )
+        if self.encoder_scan_chunk_size is None:
+            support_track_tokens = self.encode_tracks(
+                tracks=inputs["support_tracks"],
+                visible=inputs["support_tracks_visible"],
+                restart=inputs["boundary_frame"],
+            )
+        else:
+            h = self.encoder_scan_chunk_size
+            num_tracks = inputs["support_tracks"].shape[-3]
+            if num_tracks % h:
+                raise ValueError(
+                    f"encoder_scan_chunk_size={h} must divide the support "
+                    f"track count {num_tracks}"
+                )
+
+            def chunk(x):  # [... (G H) T C] -> [... G H T C]
+                return einops.rearrange(x, "... (G H) T C -> ... G H T C", H=h)
+
+            def scan_fn(mdl, carry, xs):
+                tokens = mdl.encode_tracks(
+                    tracks=xs["tracks"],
+                    visible=xs["visible"],
+                    restart=inputs["boundary_frame"],
+                )
+                return carry, tokens
+
+            scan = nn.scan(
+                nn.remat(scan_fn, prevent_cse=False),
+                variable_broadcast="params",
+                split_rngs={"params": False, "default": True},
+                in_axes=-4,
+                out_axes=-3,
+            )
+            xs = {
+                "tracks": chunk(inputs["support_tracks"]),
+                "visible": chunk(inputs["support_tracks_visible"]),
+            }
+            _, tokens = scan(self, False, xs)  # [... G H D]
+            support_track_tokens = einops.rearrange(
+                tokens, "... G H D -> ... (G H) D", H=h
+            )
         latents = self.initializer(
             batch_shape=(inputs["support_tracks"].shape[0],)
         )

@@ -183,13 +183,22 @@ def _corr_refine(template_raw, i1, pts1, window: int, radius: int):
     return snapped, peak, ncc[:, ncc.shape[1] // 2]
 
 
-def _track_pair(pyr0, pyr1, pts, window: int, iterations: int):
+def _track_pair(pyr0, pyr1, pts, window: int, iterations: int,
+                init_disp=None):
     """Track pts [N 2] from frame pyramid pyr0 to pyr1 (lists, fine->coarse).
+
+    ``init_disp``: optional [N 2] full-resolution displacement prior seeding
+    the coarsest level (e.g. the previous frame pair's displacement — a
+    constant-velocity prior moves fast steady motion back inside LK's
+    pull-in range).
 
     Returns (new_pts, min_eig at the finest level).
     """
     num_levels = len(pyr0)
-    disp = jnp.zeros_like(pts)
+    coarse_scale = 2.0 ** (num_levels - 1)
+    disp = (
+        jnp.zeros_like(pts) if init_disp is None else init_disp / coarse_scale
+    )
     min_eig = jnp.zeros(pts.shape[0])
     for lvl in reversed(range(num_levels)):
         scale = 2.0**lvl
@@ -213,11 +222,12 @@ def build_pyramid(gray, num_levels: int):
     static_argnames=(
         "num_levels", "window", "iterations", "fb_threshold", "ncc_threshold",
         "template_ncc_threshold", "corr_radius", "corr_iterations",
+        "corr_rescue_level",
     ),
 )
 def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
                ncc_threshold, template_ncc_threshold, corr_radius=4,
-               corr_iterations=2, corr_accept=0.85):
+               corr_iterations=2, corr_accept=0.85, corr_rescue_level=0):
     t, h, w = gray.shape
     pyramids = build_pyramid(gray, num_levels)  # list of [T h w]
     offs = _window_offsets(window)
@@ -226,28 +236,73 @@ def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
         pyramids[0][0], queries[:, None, :] + offs[None]
     )  # [N K] — frame-0 appearance, shared by the template-NCC visibility
     #            check and the cost-volume re-localizer
+    rescue_lvl = min(corr_rescue_level, num_levels - 1)
+    if corr_radius > 0 and rescue_lvl > 0:
+        rescue_scale = 2.0 ** rescue_lvl
+        template_raw_c = _bilinear(
+            pyramids[rescue_lvl][0],
+            queries[:, None, :] / rescue_scale + offs[None],
+        )  # [N K] frame-0 appearance at the rescue level
 
-    def step(pts, idx):
+    def step(carry, idx):
+        pts, vel = carry
         p0 = [lvl[idx] for lvl in pyramids]
         p1 = [lvl[idx + 1] for lvl in pyramids]
-        new_pts, min_eig = _track_pair(p0, p1, pts, window, iterations)
+        # Constant-velocity prior: seed this pair's LK with the previous
+        # pair's displacement — after ONE successful (re-)localization,
+        # fast steady motion is back inside the pull-in range every frame.
+        new_pts, min_eig = _track_pair(
+            p0, p1, pts, window, iterations, init_disp=vel
+        )
         if corr_radius > 0:
-            # Drift-free re-localization: snap to the frame-0 template's NCC
-            # peak near the LK estimate, GN-polish for sub-pixel, and accept
-            # ONLY where (a) the peak is strong — weak peaks mean the
-            # original appearance is absent (occlusion/appearance change),
-            # where the LK estimate + NCC occlusion checks must stay in
-            # charge — AND (b) the peak beats the current estimate's own
-            # score by a clear margin — an un-drifted track is left alone
-            # (no integer-snap bias, no occlusion-recall cost).
-            snapped, peak, center = _corr_refine(
+            # Drift-free re-localization: cost-volume snaps (fine level,
+            # plus the rescue level when enabled — its +-radius grid spans
+            # ``radius * 2^lvl`` full-res pixels, far past LK's pull-in
+            # range) are GN-polished at the finest level, then EVERY
+            # candidate is verified by the fine frame-0 template's
+            # center-weighted NCC at its polished position. The verified
+            # argmax wins, and it must beat the LK estimate's own score by
+            # a clear margin: un-drifted tracks are left alone (no
+            # integer-snap bias), weak matches everywhere mean the
+            # original appearance is absent (occlusion/appearance change)
+            # and the LK estimate + NCC visibility checks stay in charge.
+            # Verification at the FINE level is what kills cost-volume
+            # false positives on self-similar texture — an integer peak is
+            # cheap to fake, a polished sub-pixel fine-template match is
+            # not.
+            def template_score(p):
+                patch = _bilinear(p1[0], p[:, None, :] + offs[None])
+                return _weighted_ncc(template_raw, patch, gauss_w)
+
+            snapped, _, _ = _corr_refine(
                 template_raw, p1[0], new_pts, window, corr_radius
             )
             disp, _ = _lk_level(
                 p0[0], p1[0], pts, snapped - pts, window, corr_iterations
             )
-            accept = ((peak > corr_accept) & (peak > center + 0.1))[:, None]
-            new_pts = jnp.where(accept, pts + disp, new_pts)
+            candidates = [pts + disp]
+            if rescue_lvl > 0:
+                snap_c, _, _ = _corr_refine(
+                    template_raw_c, p1[rescue_lvl], new_pts / rescue_scale,
+                    window, corr_radius,
+                )
+                disp_c, _ = _lk_level(
+                    p0[0], p1[0], pts, snap_c * rescue_scale - pts,
+                    window, corr_iterations,
+                )
+                candidates.append(pts + disp_c)
+
+            score_lk = template_score(new_pts)
+            best_pts, best_score = new_pts, score_lk
+            for cand in candidates:
+                s = template_score(cand)
+                better = (s > best_score)[:, None]
+                best_pts = jnp.where(better, cand, best_pts)
+                best_score = jnp.maximum(best_score, s)
+            accept = (
+                (best_score > corr_accept) & (best_score > score_lk + 0.1)
+            )[:, None]
+            new_pts = jnp.where(accept, best_pts, new_pts)
         in_bounds = (
             (new_pts[:, 0] >= 0)
             & (new_pts[:, 0] <= w - 1)
@@ -260,7 +315,11 @@ def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
             # it buys ~1% occlusion recall on the synthetic benchmark
             # (tests/unit/test_tracking_quality.py), so fb_threshold <= -1
             # skips it entirely (the pipeline's fast configuration).
-            back_pts, _ = _track_pair(p1, p0, new_pts, window, iterations)
+            # Backward seeds from the negated forward displacement (the
+            # velocity prior's mirror) so FB stays meaningful on fast motion.
+            back_pts, _ = _track_pair(
+                p1, p0, new_pts, window, iterations, init_disp=pts - new_pts
+            )
             fb_err = jnp.linalg.norm(back_pts - pts, axis=-1)
             visible &= fb_err < fb_threshold
         if ncc_threshold > -1.0:
@@ -279,9 +338,12 @@ def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
             [jnp.clip(new_pts[:, 0], 0, w - 1), jnp.clip(new_pts[:, 1], 0, h - 1)],
             axis=-1,
         )
-        return clamped, (clamped, visible)
+        # Velocity carry, clipped so a garbage displacement (lost track)
+        # cannot fling the next frame's search arbitrarily far.
+        new_vel = jnp.clip(clamped - pts, -32.0, 32.0)
+        return (clamped, new_vel), (clamped, visible)
 
-    init = queries
+    init = (queries, jnp.zeros_like(queries))
     _, (traj, vis) = jax.lax.scan(step, init, jnp.arange(t - 1))
     # Prepend frame 0 (queries, all visible).
     tracks = jnp.concatenate([queries[None], traj], axis=0)  # [T N 2]
@@ -303,6 +365,7 @@ def track_video_lk(
     corr_radius: int = 0,
     corr_iterations: int = 2,
     corr_accept: float = 0.85,
+    corr_rescue_level: int = 0,
 ):
     """Track query points through a video.
 
@@ -314,7 +377,10 @@ def track_video_lk(
     frame-0 template's NCC peak within this integer radius (then
     ``corr_iterations`` of sub-pixel Gauss-Newton), accepted only where the
     peak exceeds ``corr_accept`` (<= 0 radius disables; see
-    ``_corr_refine``).
+    ``_corr_refine``). ``corr_rescue_level``: additionally search the
+    same radius at this pyramid level (covering ``radius * 2^lvl`` full-res
+    pixels) for points the fine cost volume could not place — fast-motion
+    recovery far past LK's pull-in range (0 disables).
 
     Returns (tracks [N T 2] float32, visible [N T 1] float32).
     """
@@ -331,5 +397,6 @@ def track_video_lk(
         int(corr_radius),
         int(corr_iterations),
         float(corr_accept),
+        int(corr_rescue_level),
     )
     return tracks, visible[..., None].astype(jnp.float32)

@@ -36,8 +36,15 @@ def make_tracking_scene(
     num_sprites: int = 2,
     sprite_size: int = 48,
     seed: int = 0,
+    pan: tuple = (0, 0),
 ):
     """Render a scene and its exact tracking ground truth.
+
+    ``pan``: integer camera velocity (px/frame). The background renders
+    from an oversized texture through a window moving by ``pan`` each
+    frame, so background-attached points appear to move by ``-pan`` per
+    frame — exact fast-motion ground truth (sprites stay in frame
+    coordinates and keep their own velocities).
 
     Returns:
       video: [T H W 3] uint8.
@@ -46,7 +53,16 @@ def make_tracking_scene(
       visible: [N T] bool ground-truth visibility.
     """
     rng = np.random.default_rng(seed)
-    background = _texture(rng, height, width)
+    pan_x, pan_y = int(pan[0]), int(pan[1])
+    pad_x, pad_y = abs(pan_x) * (num_frames - 1), abs(pan_y) * (num_frames - 1)
+    big_bg = _texture(rng, height + pad_y, width + pad_x)
+    bg_x0 = pad_x if pan_x < 0 else 0
+    bg_y0 = pad_y if pan_y < 0 else 0
+
+    def bg_window(t):
+        ox = bg_x0 + pan_x * t
+        oy = bg_y0 + pan_y * t
+        return big_bg[oy : oy + height, ox : ox + width]
 
     # Sprites: (texture, x0, y0, vx, vy), painted in list order (later on top).
     sprites = []
@@ -64,7 +80,7 @@ def make_tracking_scene(
         return x0 + vx * t, y0 + vy * t
 
     def render(t):
-        frame = background.copy()
+        frame = bg_window(t).copy()
         for s, (tex, *_rest) in enumerate(sprites):
             sx, sy = sprite_origin(s, t)
             x_lo, x_hi = max(sx, 0), min(sx + sprite_size, width)
@@ -97,7 +113,8 @@ def make_tracking_scene(
         owner = topmost_surface(xs[i], ys[i], 0)
         for t in range(num_frames):
             if owner == -1:
-                px, py = xs[i], ys[i]
+                # Camera pans by +pan; world content appears to move -pan.
+                px, py = xs[i] - pan_x * t, ys[i] - pan_y * t
             else:
                 sx0, sy0 = sprite_origin(owner, 0)
                 sxt, syt = sprite_origin(owner, t)

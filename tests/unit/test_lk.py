@@ -125,6 +125,37 @@ def test_pallas_corr_refine_matches_xla_oracle():
     np.testing.assert_allclose(np.asarray(got_tracks), expected, atol=0.35)
 
 
+def test_pallas_rescue_level_matches_xla_oracle():
+    """Coarse-level cost-volume rescue parity (kernel == oracle), on motion
+    fast enough (6 px/frame) that the FINE +-4 cost volume alone cannot
+    re-acquire but the level-1 volume (+-8 full-res px) can."""
+    import jax.numpy as jnp
+
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    T, H, W = 4, 256, 256
+    video = _noise_video(T, H, W, 6.0, 0.0)
+    queries = np.array(
+        [[60.0, 90.0], [128.0, 128.0], [160.0, 80.0], [75.0, 180.0]],
+        np.float32,
+    )
+    common = dict(num_levels=2, window=7, iterations=1, corr_radius=4,
+                  corr_rescue_level=1)
+    ref_tracks, ref_vis = track_video_lk(video, queries, **common)
+    got_tracks, got_vis = track_video_lk_pallas(
+        video, jnp.asarray(queries), interpret=True, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tracks), np.asarray(ref_tracks), atol=0.05
+    )
+    np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(ref_vis))
+    # The rescue genuinely locks onto the 6 px/frame integer motion.
+    expected = queries[:, None, :] + np.stack(
+        [6.0 * np.arange(T), 0.0 * np.arange(T)], -1
+    )[None]
+    np.testing.assert_allclose(np.asarray(got_tracks), expected, atol=0.35)
+
+
 def test_pallas_lk_pads_point_count():
     """N not a multiple of 8 pads internally and slices back."""
     import jax.numpy as jnp

@@ -77,6 +77,36 @@ def test_chunked_decode_matches_dense(setup_3d):
     )
 
 
+def test_chunked_encode_matches_dense(setup_3d):
+    """encoder_scan_chunk_size: chunked == unchunked (per-track encode is
+    independent across tracks), params identical, and gradients flow."""
+    model, variables, batch = setup_3d
+    dense = jax.jit(model.apply)(variables, batch)
+    n = batch["support_tracks"].shape[1]
+    assert n % 2 == 0
+    chunked_model = tiny_model_3d(T, encoder_scan_chunk_size=n // 2)
+    chunked = jax.jit(chunked_model.apply)(variables, batch)
+    np.testing.assert_allclose(
+        np.asarray(dense.tracks), np.asarray(chunked.tracks), atol=1e-5
+    )
+
+    def loss(v):
+        return jnp.sum(chunked_model.apply(v, batch).tracks ** 2)
+
+    grads = jax.grad(loss)(variables)
+    assert all(
+        bool(jnp.isfinite(g).all()) for g in jax.tree_util.tree_leaves(grads)
+    )
+
+
+def test_chunked_encode_rejects_indivisible(setup_3d):
+    model, variables, batch = setup_3d
+    n = batch["support_tracks"].shape[1]
+    bad = tiny_model_3d(T, encoder_scan_chunk_size=n + 1)
+    with pytest.raises(ValueError, match="must divide"):
+        bad.apply(variables, batch)
+
+
 def test_default_query_grid_path(setup_2d):
     model, variables, batch = setup_2d
     no_queries = {k: v for k, v in batch.items() if k != "query_points"}
