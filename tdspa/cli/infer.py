@@ -57,6 +57,13 @@ flags.DEFINE_integer(
     "LK tracker: also search the cost volume at this pyramid level "
     "(covers radius * 2^level px — fast-motion re-acquisition; 0 disables)",
 )
+flags.DEFINE_string(
+    "tracker_matcher", "",
+    "LK tracker: learned matching head ('' disables, 'default' = the "
+    "shipped pretrained matcher, else a matcher .npz path). Learned "
+    "appearance model for degraded content (noise/low contrast/flicker) — "
+    "see tdspa/features/matcher.py",
+)
 
 
 def _build_track_provider():
@@ -72,6 +79,7 @@ def _build_track_provider():
             grid_size=FLAGS.tracking_grid_size,
             corr_radius=FLAGS.tracker_corr_radius,
             corr_rescue_level=FLAGS.tracker_corr_rescue_level,
+            matcher=FLAGS.tracker_matcher or None,
         )
     if choice == "static":
         return T.StaticGridProvider(grid_size=FLAGS.tracking_grid_size)

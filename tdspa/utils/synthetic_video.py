@@ -37,6 +37,9 @@ def make_tracking_scene(
     sprite_size: int = 48,
     seed: int = 0,
     pan: tuple = (0, 0),
+    noise_sigma: float = 0.0,
+    contrast: float = 1.0,
+    gain_flicker: float = 0.0,
 ):
     """Render a scene and its exact tracking ground truth.
 
@@ -45,6 +48,14 @@ def make_tracking_scene(
     frame, so background-attached points appear to move by ``-pan`` per
     frame — exact fast-motion ground truth (sprites stay in frame
     coordinates and keep their own velocities).
+
+    Degradations (applied to pixels only — geometry and ground truth are
+    unchanged; they create the regimes where brightness-constancy (LK) and
+    template-NCC matching degrade and a learned matcher must hold up):
+      ``noise_sigma``: per-frame iid Gaussian sensor noise (uint8 scale).
+      ``contrast``: global contrast scale about 128 (< 1 = low-texture).
+      ``gain_flicker``: per-frame multiplicative exposure swing amplitude
+        (frame t is scaled by 1 + a*sin(2 pi t / 8)).
 
     Returns:
       video: [T H W 3] uint8.
@@ -92,6 +103,18 @@ def make_tracking_scene(
         return frame
 
     video = np.stack([render(t) for t in range(num_frames)])
+    if contrast != 1.0 or noise_sigma > 0.0 or gain_flicker > 0.0:
+        v = video.astype(np.float32)
+        if contrast != 1.0:
+            v = (v - 128.0) * float(contrast) + 128.0
+        if gain_flicker > 0.0:
+            gains = 1.0 + gain_flicker * np.sin(
+                2 * np.pi * np.arange(num_frames) / 8.0
+            )
+            v = v * gains[:, None, None, None]
+        if noise_sigma > 0.0:
+            v = v + rng.normal(0.0, noise_sigma, v.shape)
+        video = np.clip(v, 0, 255).astype(np.uint8)
 
     def topmost_surface(x, y, t):
         """-1 = background, else sprite index (highest wins)."""
