@@ -44,18 +44,35 @@ from tdspa.ops.geometry import bilinear_sample
 
 
 class MatcherFeatureNet(nn.Module):
-    """Grayscale [T H W] -> L2-normalized features [T H W dim]."""
+    """Grayscale [T H W] -> L2-normalized features [T H/s W/s dim].
 
-    dim: int = 32
+    ``stride`` strides the first conv (CoTracker-style strided feature
+    maps). stride=2 makes a 512x512 frame's feature map small enough to
+    stage in TPU VMEM (256*256*16*4B = 4.2 MB), which is what lets the
+    Pallas cost-patch kernel replace XLA's pathological per-point gathers
+    at pipeline scale. Image px -> feature px: f = (p - (stride-1)) / stride
+    (XLA SAME-pad stride-2 7x7 centers output i at input 2i+1).
+    """
+
+    dim: int = 16
     hidden: int = 16
+    stride: int = 2
 
     @nn.compact
     def __call__(self, gray):  # [T H W] f32 (0..1 scale)
         x = gray[..., jnp.newaxis] * 2.0 - 1.0
-        x = nn.Conv(self.hidden, (7, 7), padding="SAME", name="conv0")(x)
+        x = nn.Conv(
+            self.hidden, (7, 7), strides=(self.stride, self.stride),
+            padding="SAME", name="conv0",
+        )(x)
         x = nn.gelu(x)
         x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv1")(x)
         return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-6)
+
+
+def img_to_feat(coords, stride: int):
+    """Image-pixel (x, y) -> feature-map coordinates (see MatcherFeatureNet)."""
+    return (coords - float(stride - 1)) / float(stride)
 
 
 class MatcherHead(nn.Module):
@@ -102,10 +119,14 @@ def _to_gray01(video):
     return v / 255.0
 
 
-def init_matcher(key, dim: int = 32, radius: int = 4, hidden: int = 128):
-    """Initialize matcher params {'feature': ..., 'head': ...}."""
+def init_matcher(key, dim: int = 16, radius: int = 4, hidden: int = 128,
+                 stride: int = 2, fhidden: int = 32):
+    """Initialize matcher params {'feature': ..., 'head': ...}.
+
+    ``radius`` is in FEATURE pixels (search reach = radius*stride image px).
+    """
     kf, kh = jax.random.split(key)
-    fnet = MatcherFeatureNet(dim=dim)
+    fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
     head = MatcherHead(radius=radius, hidden=hidden)
     k2 = (2 * radius + 1) ** 2
     fparams = fnet.init(kf, jnp.zeros((1, 32, 128)))["params"]
@@ -113,37 +134,50 @@ def init_matcher(key, dim: int = 32, radius: int = 4, hidden: int = 128):
     return {
         "feature": fparams,
         "head": hparams,
-        "config": {"dim": dim, "radius": radius, "hidden": hidden},
+        "config": {"dim": dim, "radius": radius, "hidden": hidden,
+                   "stride": stride, "fhidden": fhidden},
     }
 
 
 def _cfg(params):
     c = params["config"]
+
+    def geti(name, default=None):
+        return int(np.asarray(c[name])) if name in c else default
+
     return (
-        int(np.asarray(c["dim"])),
-        int(np.asarray(c["radius"])),
-        int(np.asarray(c["hidden"])),
+        geti("dim"),
+        geti("radius"),
+        geti("hidden"),
+        geti("stride", 1),
+        geti("fhidden", 16),
     )
 
 
 def compute_features(params, video):
-    """[T H W (3)] -> [T H W D] L2-normalized match features."""
-    dim, _, _ = _cfg(params)
-    return MatcherFeatureNet(dim=dim).apply(
+    """[T H W (3)] -> [T H/s W/s D] L2-normalized match features."""
+    dim, _, _, stride, fhidden = _cfg(params)
+    return MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden).apply(
         {"params": params["feature"]}, _to_gray01(video)
     )
 
 
-def _cost_patches(feats, template_vec, positions, radius: int):
-    """Correlation patches around per-frame positions.
+def _cost_patches(feats, template_vec, positions, radius: int, stride: int):
+    """Correlation patches around per-frame positions (XLA path).
 
-    feats: [T H W D]; template_vec: [N D]; positions: [N T 2].
-    Returns cost [N T K2].
+    feats: [T Hf Wf D]; template_vec: [N D]; positions: [N T 2] IMAGE px.
+    Returns cost [N T K2] over the (2R+1)^2 FEATURE-px offset grid.
+
+    TPU note: this lowers to per-point gathers, which TPUs execute ~1000x
+    slower than the arithmetic warrants; the runtime path dispatches to
+    tdspa.kernels.matcher.cost_patches_pallas on TPU instead (same output,
+    interior-exact — see its parity test).
     """
     n, t = positions.shape[:2]
     offs = _offset_grid(radius)  # [K2, 2]
     k2 = offs.shape[0]
-    coords = positions[:, jnp.newaxis, :, :] + offs[:, jnp.newaxis, :]
+    fpos = img_to_feat(positions, stride)
+    coords = fpos[:, jnp.newaxis, :, :] + offs[:, jnp.newaxis, :]
     # [N K2 T 2] -> flatten the patch axis into N for bilinear_sample.
     patch = bilinear_sample(
         feats, coords.reshape(n * k2, t, 2)
@@ -153,7 +187,7 @@ def _cost_patches(feats, template_vec, positions, radius: int):
 
 def refine_tracks(params, video, tracks, iterations: int = 2,
                   template_frame=None, template_pos=None,
-                  refine_first: bool = False):
+                  refine_first: bool = False, backend: str = "auto"):
     """Refine per-frame positions with the learned matcher.
 
     Args:
@@ -168,11 +202,18 @@ def refine_tracks(params, video, tracks, iterations: int = 2,
       refine_first: also refine frame 0 (chunk continuations want this;
         default leaves frame 0 = the template definition untouched, with a
         strongly-visible logit).
+      backend: 'auto' (Pallas cost kernel on TPU, XLA elsewhere) | 'xla' |
+        'pallas' | 'pallas_interpret'. The XLA cost sampling is
+        gather-bound and TPU-hostile; the kernel is interior-exact (border
+        windows shift inward, see tdspa/kernels/matcher.py).
 
     Returns:
       (tracks [N T 2], vis_logits [N T]).
     """
-    dim, radius, hidden = _cfg(params)  # static config: resolve outside jit
+    # static config: resolve outside jit
+    dim, radius, hidden, stride, fhidden = _cfg(params)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     weights = {"feature": params["feature"], "head": params["head"]}
     if template_frame is None:
         template_frame = jnp.asarray(video)[0]
@@ -181,31 +222,48 @@ def refine_tracks(params, video, tracks, iterations: int = 2,
     return _refine_tracks_jit(
         weights, jnp.asarray(video), jnp.asarray(tracks, jnp.float32),
         jnp.asarray(template_frame), jnp.asarray(template_pos, jnp.float32),
-        dim, radius, hidden, iterations, refine_first,
+        dim, radius, hidden, stride, fhidden, iterations, refine_first,
+        backend,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dim", "radius", "hidden", "iterations", "refine_first"),
+    static_argnames=(
+        "dim", "radius", "hidden", "stride", "fhidden", "iterations",
+        "refine_first", "backend",
+    ),
 )
 def _refine_tracks_jit(params, video, tracks, template_frame, template_pos,
-                       dim, radius, hidden, iterations, refine_first):
+                       dim, radius, hidden, stride, fhidden, iterations,
+                       refine_first, backend="xla"):
     head = MatcherHead(radius=radius, hidden=hidden)
-    fnet = MatcherFeatureNet(dim=dim)
+    fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
     feats = fnet.apply({"params": params["feature"]}, _to_gray01(video))
     tfeats = fnet.apply(
         {"params": params["feature"]}, _to_gray01(template_frame)[jnp.newaxis]
     )
     template_vec = bilinear_sample(
-        tfeats, template_pos[:, jnp.newaxis]
+        tfeats, img_to_feat(template_pos, stride)[:, jnp.newaxis]
     )[:, 0]  # [N D]
+
+    if backend == "xla":
+        def cost_fn(pos):
+            return _cost_patches(feats, template_vec, pos, radius, stride)
+    else:
+        from tdspa.kernels.matcher import cost_patches_pallas
+
+        def cost_fn(pos):
+            return cost_patches_pallas(
+                feats, template_vec, img_to_feat(pos, stride), radius,
+                interpret=(backend == "pallas_interpret"),
+            )
+
     pos = tracks
     vis = jnp.zeros(tracks.shape[:2], jnp.float32)
     for _ in range(iterations):
-        cost = _cost_patches(feats, template_vec, pos, radius)
-        delta, vis = head.apply({"params": params["head"]}, cost)
-        pos = pos + delta
+        delta, vis = head.apply({"params": params["head"]}, cost_fn(pos))
+        pos = pos + delta * float(stride)  # head regresses FEATURE px
     if not refine_first:
         # Frame 0 is the template: identity position, surely visible.
         pos = jnp.concatenate([tracks[:, :1], pos[:, 1:]], axis=1)
@@ -256,12 +314,15 @@ def make_training_scenes(
 
 def train_matcher(
     key,
-    steps: int = 400,
+    steps: int = 1500,
     num_scenes: int = 24,
     learning_rate: float = 2e-3,
-    dim: int = 32,
+    dim: int = 16,
     radius: int = 4,
     hidden: int = 128,
+    stride: int = 2,
+    fhidden: int = 32,
+    iterations: int = 2,
     occlusion_weight: float = 4.0,
     scene_kwargs: dict | None = None,
     log_every: int = 50,
@@ -269,9 +330,12 @@ def train_matcher(
     """Train the matcher on synthetic degraded scenes. Returns (params, log).
 
     Supervision is exact (synthetic ground truth): for random (point, frame)
-    pairs, perturb the true position by up to ``radius`` px and train the
-    head to (a) regress the correction, (b) classify ground-truth
-    visibility. One scene per step (cycled); everything jitted.
+    pairs, perturb the true position by up to the search reach
+    (radius*stride image px) and train the head — unrolled for the same
+    number of refinement ``iterations`` the runtime applies, so the second
+    pass learns to POLISH the first's output — to (a) regress the
+    correction, (b) classify ground-truth visibility. One scene per step
+    (cycled), warmup+cosine LR; everything jitted.
     """
     import optax
 
@@ -282,37 +346,53 @@ def train_matcher(
     tracks_j = jnp.asarray(tracks)
     visible_j = jnp.asarray(visible.astype(np.float32))
 
-    params = init_matcher(key, dim=dim, radius=radius, hidden=hidden)
+    params = init_matcher(key, dim=dim, radius=radius, hidden=hidden,
+                          stride=stride, fhidden=fhidden)
     trainable = {"feature": params["feature"], "head": params["head"]}
     head = MatcherHead(radius=radius, hidden=hidden)
-    fnet = MatcherFeatureNet(dim=dim)
-    tx = optax.adamw(learning_rate)
+    fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
+    tx = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, 50, steps, learning_rate * 0.05
+        )
+    )
     opt_state = tx.init(trainable)
 
     def loss_fn(tr, key, video, gt_tracks, gt_visible):
         n, t = gt_tracks.shape[:2]
         k1, k2 = jax.random.split(key)
         feats = fnet.apply({"params": tr["feature"]}, _to_gray01(video))
-        template_vec = bilinear_sample(feats[:1], gt_tracks[:, :1])[:, 0]
+        template_vec = bilinear_sample(
+            feats[:1], img_to_feat(gt_tracks[:, :1], stride)
+        )[:, 0]
         # Perturbed starts: the runtime hands the head LK estimates that are
-        # near-correct or drifted by a few px; train on that distribution.
+        # near-correct or drifted by a few px; train on that distribution
+        # (the search reach is radius FEATURE px = radius*stride image px).
+        reach = float(radius * stride)
         noise = jax.random.uniform(
-            k1, gt_tracks.shape, minval=-float(radius), maxval=float(radius)
+            k1, gt_tracks.shape, minval=-reach, maxval=reach
         )
-        start = gt_tracks + noise
-        cost = _cost_patches(feats, template_vec, start, radius)
-        delta, vis_logit = head.apply({"params": tr["head"]}, cost)
-        pred = start + delta
-        err = pred - gt_tracks
-        huber = optax.huber_loss(err, delta=1.0).sum(-1)  # [N T]
+        pred = gt_tracks + noise
         vis = gt_visible  # [N T]
-        pos_loss = (huber * vis).sum() / jnp.maximum(vis.sum(), 1.0)
-        # Occluded (point, frame) pairs are a small minority of the grid;
-        # unweighted BCE learns "predict visible" and occlusion recall
-        # collapses (~0.45 measured). Upweight the occluded class.
-        bce = optax.sigmoid_binary_cross_entropy(vis_logit, vis)
-        w = vis + occlusion_weight * (1.0 - vis)
-        vis_loss = (bce * w).sum() / w.sum()
+        pos_loss = 0.0
+        vis_loss = 0.0
+        for it in range(iterations):
+            cost = _cost_patches(feats, template_vec, pred, radius, stride)
+            delta, vis_logit = head.apply({"params": tr["head"]}, cost)
+            pred = pred + delta * float(stride)
+            err = pred - gt_tracks
+            huber = optax.huber_loss(err, delta=1.0).sum(-1)  # [N T]
+            # Occluded (point, frame) pairs are a small minority of the
+            # grid; unweighted BCE learns "predict visible" and occlusion
+            # recall collapses (~0.45 measured). Upweight the occluded
+            # class. Later iterations weigh more (they are the output).
+            bce = optax.sigmoid_binary_cross_entropy(vis_logit, vis)
+            w = vis + occlusion_weight * (1.0 - vis)
+            scale = 1.0 if it == iterations - 1 else 0.5
+            pos_loss += scale * (huber * vis).sum() / jnp.maximum(
+                vis.sum(), 1.0
+            )
+            vis_loss += scale * (bce * w).sum() / w.sum()
         return pos_loss + vis_loss, (pos_loss, vis_loss)
 
     @jax.jit
@@ -342,15 +422,16 @@ def train_matcher(
 def default_matcher_path() -> str:
     """Path of the shipped pretrained matcher (tdspa/assets).
 
-    Trained with ``train_matcher(jax.random.PRNGKey(0), steps=600,
-    num_scenes=24)`` (the defaults above) — regenerate with::
+    Trained with ``train_matcher(jax.random.PRNGKey(0))`` (the defaults
+    above: stride 2, dim 16, 1500 steps, 2-iteration unroll) — regenerate
+    with::
 
         python -m tdspa.features.matcher /path/out.npz
 
     Measured on held-out degraded scenes (noise 15, contrast 0.5, flicker
-    0.15; seeds 100-102; threshold 1.5): pts_within_2 0.92-0.96 (classical
-    0.71-0.74), visibility accuracy 0.90-0.91 (classical 0.51-0.55),
-    occlusion recall 0.77-0.85, visible recall 0.91-0.92.
+    0.15; seeds 100-102; threshold 0.5): pts_within_2 0.90-0.95 (classical
+    0.71-0.74), visibility accuracy 0.89-0.91 (classical 0.51-0.55),
+    occlusion recall 0.77-0.89, visible recall 0.90-0.91.
     """
     import os
 
@@ -394,7 +475,6 @@ if __name__ == "__main__":
     import sys
 
     out = sys.argv[1] if len(sys.argv) > 1 else default_matcher_path()
-    p, train_log = train_matcher(jax.random.PRNGKey(0), steps=600,
-                                 num_scenes=24)
+    p, train_log = train_matcher(jax.random.PRNGKey(0))
     save_matcher(out, p)
     print(f"saved {out}; loss {train_log[0][1]:.3f} -> {train_log[-1][1]:.3f}")

@@ -96,7 +96,7 @@ class PyramidalLKTracker:
         corr_accept: float = 0.85,
         corr_rescue_level: int = 0,
         matcher=None,  # None | params dict | path to a matcher .npz
-        matcher_vis_threshold: float = 1.5,
+        matcher_vis_threshold: float = 0.5,
         device: str = "auto",  # 'auto' | 'pallas' | 'cpu' | 'default'
     ):
         self.grid_size = grid_size
@@ -117,8 +117,9 @@ class PyramidalLKTracker:
         self.matcher = matcher
         # Decision threshold on the matcher's visibility logit. 0.0 is the
         # BCE-optimal cut but under-calls occlusion (class imbalance even
-        # after loss re-weighting); 1.5 measured best-balanced on held-out
-        # degraded scenes (occ recall 0.77-0.85 at vis recall ~0.91).
+        # after loss re-weighting); 0.5 measured best-balanced for the
+        # shipped weights on held-out degraded scenes (occ recall
+        # 0.77-0.89 at vis recall ~0.90, sweep in docs/BENCHMARKS.md).
         self.matcher_vis_threshold = matcher_vis_threshold
         self.device = device
 

@@ -53,9 +53,10 @@ def test_refine_shapes_and_frame0_invariant():
     # Frame 0 defines the template: position untouched, visibility pinned.
     np.testing.assert_array_equal(np.asarray(pos[:, 0]), tracks[:, 0])
     assert bool(jnp.all(vis[:, 0] > 0.0))
-    # Each of the 2 refinement iterations moves at most 2*radius (soft-argmax
-    # within the window + tanh-bounded correction).
-    assert float(jnp.max(jnp.abs(pos - tracks))) <= 2 * 2 * 2.0 + 1e-4
+    # Each of the 2 refinement iterations moves at most 2*radius feature px
+    # = 2*radius*stride image px (soft-argmax within the window +
+    # tanh-bounded correction).
+    assert float(jnp.max(jnp.abs(pos - tracks))) <= 2 * (2 * 2 * 2.0) + 1e-4
 
 
 def test_save_load_roundtrip(tmp_path):
@@ -109,8 +110,9 @@ def test_shipped_matcher_beats_classical_under_degradation(shipped, seed):
     """On degraded held-out scenes the learned matcher must beat LK+NCC on
     localization and visibility classification (the classical appearance
     model collapses there: it marks ~half the visible points occluded).
-    Measured (th=1.5): pts2 0.92/0.92 vs 0.73/0.71; acc 0.90/0.90 vs
-    0.51/0.51; occ recall 0.84/0.77; visible recall 0.91/0.91.
+    Measured (shipped stride-2 weights, th=0.5): pts2 0.93/0.90 vs
+    0.73/0.71; acc 0.89/0.90 vs 0.51/0.51; occ recall 0.80/0.89; visible
+    recall 0.90/0.90.
     """
     video, gt_tracks, gt_vis = make_tracking_scene(seed=seed, **DEGRADE)
     base_tracker = PyramidalLKTracker(grid_size=12, device="cpu")
