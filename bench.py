@@ -45,9 +45,18 @@ def measure_decode():
     T, N_SUPPORT, N_QUERY = 150, 2048, 512
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    # Residual-stream dtype. Default bf16 — the serving configuration
+    # (halves the decoder's elementwise/HBM traffic, ~0.6% relative output
+    # error; measured +22% decode rate — docs/BENCHMARKS.md "Residual
+    # dtype"). BENCH_RESID=f32 measures the reference-numerics config.
+    resid = (
+        jnp.float32
+        if os.environ.get("BENCH_RESID", "bf16") == "f32"
+        else jnp.bfloat16
+    )
     model = TrackAutoEncoder3D(
         num_output_frames=T, dtype=jnp.bfloat16, fused_attention=fused,
-        quantize=quant,
+        quantize=quant, residual_dtype=resid,
     )
     batch = synthetic_batch(
         jax.random.PRNGKey(0),

@@ -5,10 +5,13 @@ Example:
       --checkpoint_path=3dspa_ckpt.npz --output_dir=./out
 
 Extra flags beyond the reference: --track_provider
-(cotracker|lk|static|npz:<path>), --precomputed_tracks, --seed.
+(cotracker|lk|static|npz:<path>), --precomputed_tracks, --seed,
+--quantize, --bf16_residual (TPU serving knobs; off by default = the
+reference's f32-residual numerics).
 """
 
 from absl import app, flags, logging
+import jax.numpy as jnp
 
 FLAGS = flags.FLAGS
 
@@ -22,6 +25,12 @@ flags.DEFINE_bool(
     "quantize", False,
     "int8 dynamic quantization of the model's projection/MLP matmuls "
     "(2x MXU rate on TPU v5e; same checkpoint layout)",
+)
+flags.DEFINE_bool(
+    "bf16_residual", False,
+    "bf16 residual-stream activations in the model's transformer stacks "
+    "(halves decoder elementwise/HBM traffic; ~0.6% relative output error "
+    "vs the reference's f32 residual — see docs/BENCHMARKS.md)",
 )
 flags.DEFINE_integer("num_query_points", 512, "Number of query points")
 flags.DEFINE_integer("num_support_tracks", 2048, "Number of support tracks")
@@ -133,6 +142,7 @@ def main(argv):
         seed=FLAGS.seed,
         projection_policy=FLAGS.projection_policy,
         quantize=FLAGS.quantize,
+        residual_dtype=jnp.bfloat16 if FLAGS.bf16_residual else None,
     )
     results = pipeline.run(FLAGS.video_path)
     save_results(results, FLAGS.output_dir)

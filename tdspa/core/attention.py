@@ -56,9 +56,9 @@ def _fused_attention_applicable(q, k, mask) -> bool:
     )
 
 
-def _fused_attention(q, k, v, mask):
+def _fused_attention(q, k, v, mask, out_dtype=jnp.float32):
     """Flatten leading batch dims and dispatch the Pallas fused kernel."""
-    from tdspa.kernels.attention import fused_attention
+    from tdspa.kernels.attention import fused_attention, fused_masked_attention
 
     lead = q.shape[:-3]
     s, h, d = q.shape[-3:]
@@ -71,7 +71,13 @@ def _fused_attention(q, k, v, mask):
         key_mask = jnp.broadcast_to(
             mask[..., 0, 0, :], lead + (kv,)
         ).reshape((-1, kv)).astype(jnp.float32)
-    out = fused_attention(qf, kf, vf, key_mask)
+    if out_dtype == jnp.float32:
+        # Differentiable wrapper (XLA-recompute backward) — training path.
+        out = fused_attention(qf, kf, vf, key_mask)
+    else:
+        # bf16-residual inference: the kernel writes bf16 straight to HBM
+        # (halves its output write + the out-projection's read).
+        out = fused_masked_attention(qf, kf, vf, key_mask, out_dtype=out_dtype)
     return out.reshape(lead + (s, h, d))
 
 
@@ -129,6 +135,11 @@ class QKNormAttention(nn.Module):
     # int8 dynamic quantization of the four projection matmuls (2x MXU
     # rate on v5e; see tdspa/core/quant.py). Same parameter tree.
     quantize: bool = False
+    # Dtype of the returned (residual-stream) activations. f32 matches the
+    # reference numerics; bf16 halves the residual/elementwise HBM traffic
+    # the decode profile showed dominating the non-matmul time
+    # (docs/BENCHMARKS.md "Decode profile") — inference-only knob.
+    residual_dtype: Any = jnp.float32
 
     def _dense_general(self, features, axis=-1, use_bias=False, name=None):
         if self.quantize:
@@ -165,16 +176,22 @@ class QKNormAttention(nn.Module):
             (self.num_heads, head_qk), name="dense_key"
         )(inputs_kv)
 
-        # QK-norm: RMS-normalize each projected head (f32 statistics).
-        query = nn.RMSNorm(dtype=jnp.float32, name="norm_query")(query)
-        key = nn.RMSNorm(dtype=jnp.float32, name="norm_key")(key)
+        # QK-norm: RMS-normalize each projected head. Statistics are always
+        # f32 (flax upcasts internally); the OUTPUT dtype follows the compute
+        # dtype — both consumers (the Pallas kernel and the einsum core) cast
+        # to the compute dtype immediately, so a bf16 store here is
+        # numerics-free and halves this intermediate's HBM traffic.
+        query = nn.RMSNorm(dtype=self.dtype, name="norm_query")(query)
+        key = nn.RMSNorm(dtype=self.dtype, name="norm_key")(key)
 
         value = self._dense_general(
             (self.num_heads, head_v), name="dense_value"
         )(inputs_kv)
 
         if self.use_fused and _fused_attention_applicable(query, key, mask):
-            x = _fused_attention(query, key, value, mask)
+            x = _fused_attention(
+                query, key, value, mask, out_dtype=self.residual_dtype
+            )
         else:
             x = masked_dot_product_attention(
                 query, key, value, mask=mask, compute_dtype=self.dtype
@@ -184,7 +201,7 @@ class QKNormAttention(nn.Module):
             inputs_q.shape[-1], axis=(-2, -1), use_bias=True,
             name="dense_out",
         )(x)
-        return out.astype(jnp.float32)
+        return out.astype(self.residual_dtype)
 
 
 class ParallelTransformerBlock(nn.Module):
@@ -196,6 +213,7 @@ class ParallelTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     use_fused: bool = False
     quantize: bool = False
+    residual_dtype: Any = jnp.float32  # see QKNormAttention.residual_dtype
 
     def _dense(self, features, name):
         if self.quantize:
@@ -213,10 +231,13 @@ class ParallelTransformerBlock(nn.Module):
         qk_mask=None,
     ):
         width = queries.shape[-1]
+        # Norm statistics are always f32 (flax promotes internally); the
+        # OUTPUT dtype follows the residual stream.
         normed_queries = nn.LayerNorm(
-            use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_q"
+            use_bias=False, use_scale=True, dtype=self.residual_dtype,
+            name="norm_q",
         )(queries)
-        attn_out = queries
+        attn_out = queries.astype(self.residual_dtype)
 
         attn_out += QKNormAttention(
             num_heads=self.num_heads,
@@ -224,6 +245,7 @@ class ParallelTransformerBlock(nn.Module):
             dtype=self.dtype,
             use_fused=self.use_fused,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
             name="self_att",
         )(inputs_q=normed_queries, inputs_kv=normed_queries, mask=qq_mask)
 
@@ -234,17 +256,19 @@ class ParallelTransformerBlock(nn.Module):
                 dtype=self.dtype,
                 use_fused=self.use_fused,
                 quantize=self.quantize,
+                residual_dtype=self.residual_dtype,
                 name="cross_att",
             )(inputs_q=normed_queries, inputs_kv=inputs_kv, mask=qk_mask)
 
         normed_attn_out = nn.LayerNorm(
-            use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_attn"
+            use_bias=False, use_scale=True, dtype=self.residual_dtype,
+            name="norm_attn",
         )(attn_out)
         h = nn.gelu(
             self._dense(self.mlp_size, "MLP_in")(normed_attn_out)
         )
         mlp_out = self._dense(width, "MLP_out")(h)
-        return attn_out + mlp_out.astype(jnp.float32)
+        return attn_out + mlp_out.astype(self.residual_dtype)
 
 
 class TransformerStack(nn.Module):
@@ -263,6 +287,7 @@ class TransformerStack(nn.Module):
     dtype: Any = jnp.float32
     use_fused: bool = False
     quantize: bool = False
+    residual_dtype: Any = jnp.float32  # see QKNormAttention.residual_dtype
 
     @nn.compact
     def __call__(
@@ -289,9 +314,11 @@ class TransformerStack(nn.Module):
                 dtype=self.dtype,
                 use_fused=self.use_fused,
                 quantize=self.quantize,
+                residual_dtype=self.residual_dtype,
                 name=f"layer_{i}",
             )(queries, inputs_kv=inputs_kv, qq_mask=qq_mask, qk_mask=qk_mask)
 
         return nn.LayerNorm(
-            use_bias=False, use_scale=True, dtype=jnp.float32, name="norm_encoder"
+            use_bias=False, use_scale=True, dtype=self.residual_dtype,
+            name="norm_encoder",
         )(queries)

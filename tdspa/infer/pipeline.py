@@ -204,6 +204,7 @@ class InferencePipeline:
         upload_yuv420: bool = True,
         projection_policy: str = "error",
         quantize: bool = False,
+        residual_dtype=None,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -234,6 +235,10 @@ class InferencePipeline:
             # int8 dynamic quantization of projection/MLP matmuls (same
             # param tree; tdspa/core/quant.py) — inference-only FLOP cut.
             quantize=quantize,
+            # bf16 residual stream halves the decoder's elementwise/HBM
+            # traffic (the profiled non-matmul floor — docs/BENCHMARKS.md
+            # "Decode profile"); default keeps the reference's f32 residual.
+            residual_dtype=residual_dtype or jnp.float32,
         )
         self._mesh_tail = None
         self._track_provider = track_provider

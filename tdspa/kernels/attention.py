@@ -193,7 +193,8 @@ def _mha_flash_perhead_kernel(
         out_ref[0, 0] = jnp.transpose(out, (1, 0)).astype(out_ref.dtype)
 
 
-def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False):
+def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False,
+                   out_dtype=jnp.float32):
     """Per-head KV-blocked dispatch (maskless). q [B,S,H,D] -> [B,S,H,D]."""
     batch, s, heads, depth = q.shape
     kv_len = k.shape[1]
@@ -227,7 +228,7 @@ def _flash_perhead(q, k, v, kb: int = 512, interpret: bool = False):
             (1, 1, s, depth), lambda b, h, i: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, s, depth), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, s, depth), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((1, s), jnp.float32),
             pltpu.VMEM((1, s), jnp.float32),
@@ -252,7 +253,8 @@ def _pick_kv_block(kv_len: int, s: int, heads: int, depth: int) -> int:
     return 128
 
 
-def _flash_attention(q, k, v, key_mask, interpret: bool = False):
+def _flash_attention(q, k, v, key_mask, interpret: bool = False,
+                     out_dtype=jnp.float32):
     """KV-blocked dispatch: pads KV to a block multiple and runs the online-
     softmax kernel. q [B,S,H,D], k/v [B,K,H,D], key_mask [B,K] or None."""
     batch, s, heads, depth = q.shape
@@ -262,7 +264,8 @@ def _flash_attention(q, k, v, key_mask, interpret: bool = False):
     if key_mask is None and _flash_step_elems(s, heads, depth) > VMEM_ELEM_BUDGET:
         # All-heads-resident step overflows VMEM (long sequences like the
         # 1297-token ViT frames): per-head grid variant.
-        return _flash_perhead(q, k, v, interpret=interpret)
+        return _flash_perhead(q, k, v, interpret=interpret,
+                              out_dtype=out_dtype)
 
     kb = _pick_kv_block(kv_len, s, heads, depth)
     pad = (-kv_len) % kb
@@ -312,7 +315,7 @@ def _flash_attention(q, k, v, key_mask, interpret: bool = False):
             (1, s, heads, depth), lambda b, i: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((heads, s), jnp.float32),
             pltpu.VMEM((heads, s), jnp.float32),
@@ -329,7 +332,8 @@ def _pick_tile(batch: int, budget_elems: int, per_item: int) -> int:
     return tile
 
 
-def _fused_forward(q, k, v, key_mask=None, interpret: bool = False):
+def _fused_forward(q, k, v, key_mask=None, interpret: bool = False,
+                   out_dtype=jnp.float32):
     """Kernel dispatch on (possibly per-device local) shapes — see
     ``fused_masked_attention`` for the public contract."""
     batch, s, heads, depth = q.shape
@@ -340,7 +344,8 @@ def _fused_forward(q, k, v, key_mask=None, interpret: bool = False):
     if per_item > VMEM_ELEM_BUDGET:
         # Whole-KV doesn't fit one item's VMEM tile: KV-blocked online
         # softmax (the 128x2048 tracks_to_latents cross-attention path).
-        return _flash_attention(q, k, v, key_mask, interpret=interpret)
+        return _flash_attention(q, k, v, key_mask, interpret=interpret,
+                                out_dtype=out_dtype)
 
     # Stage operands as bf16 (the kernel computes in bf16 anyway): halves
     # VMEM block size and HBM traffic.
@@ -382,7 +387,7 @@ def _fused_forward(q, k, v, key_mask=None, interpret: bool = False):
             (tile, s, heads, depth), lambda b: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, s, heads, depth), out_dtype),
         interpret=interpret,
     )(*operands)
 
@@ -425,17 +430,19 @@ def _attn_batch_axes(mesh, q_info):
 
 
 @functools.lru_cache(maxsize=None)
-def _spmd_fused(has_mask: bool, interpret: bool):
+def _spmd_fused(has_mask: bool, interpret: bool, out_dtype=jnp.float32):
     """Build (and cache) the custom_partitioning-wrapped kernel entry."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
     if has_mask:
         def base(q, k, v, key_mask):
-            return _fused_forward(q, k, v, key_mask, interpret=interpret)
+            return _fused_forward(q, k, v, key_mask, interpret=interpret,
+                                  out_dtype=out_dtype)
         rule = "b s h d, b k h d, b k h d, b k -> b s h d"
     else:
         def base(q, k, v):
-            return _fused_forward(q, k, v, None, interpret=interpret)
+            return _fused_forward(q, k, v, None, interpret=interpret,
+                                  out_dtype=out_dtype)
         rule = "b s h d, b k h d, b k h d -> b s h d"
 
     def infer_sharding(mesh, arg_shapes, result_shape):
@@ -470,23 +477,29 @@ def _spmd_fused(has_mask: bool, interpret: bool):
 INTERPRET_DEFAULT = False
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_entry(q, k, v, key_mask=None, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def _fused_entry(q, k, v, key_mask=None, interpret: bool = False,
+                 out_dtype=jnp.float32):
     if key_mask is None:
-        return _spmd_fused(False, interpret)(q, k, v)
-    return _spmd_fused(True, interpret)(q, k, v, key_mask)
+        return _spmd_fused(False, interpret, out_dtype)(q, k, v)
+    return _spmd_fused(True, interpret, out_dtype)(q, k, v, key_mask)
 
 
-def fused_masked_attention(q, k, v, key_mask=None, interpret: bool = False):
+def fused_masked_attention(q, k, v, key_mask=None, interpret: bool = False,
+                           out_dtype=jnp.float32):
     """Fused attention: q [B,S,H,D], k/v [B,K,H,D], key_mask [B,K] -> [B,S,H,D].
 
     Equivalent to ``masked_dot_product_attention`` with a key-only mask
     (scaling by 1/sqrt(D) applied inside). bf16 matmuls, f32 softmax.
     SPMD-capable: under a mesh, the batch axis shards and each device runs
     the kernel on its local shard (see the custom_partitioning block above).
+    ``out_dtype``: HBM dtype of the result — pass bf16 when the consumer
+    casts to bf16 anyway (e.g. a bf16 output projection); halves the
+    kernel's output write + the consumer's read.
     """
     return _fused_entry(
-        q, k, v, key_mask, interpret=interpret or INTERPRET_DEFAULT
+        q, k, v, key_mask, interpret=interpret or INTERPRET_DEFAULT,
+        out_dtype=out_dtype,
     )
 
 

@@ -75,6 +75,12 @@ class TrackAutoEncoder3D(nn.Module):
     # matmul (2x MXU rate on v5e, ~90% of model FLOPs; identical param
     # tree — see tdspa/core/quant.py). Inference-path knob.
     quantize: bool = False
+    # Residual-stream activation dtype for every transformer stack. f32
+    # (default) matches the reference numerics; bf16 halves the residual /
+    # elementwise HBM traffic the decode profile showed dominating non-matmul
+    # time (docs/BENCHMARKS.md "Decode profile"). Inference-path knob; the
+    # param tree is unchanged.
+    residual_dtype: Any = jnp.float32
 
     # Transformer stack shapes. Defaults match the reference exactly
     # (track_autoencoder_3d.py:89-112); exposed as config for scaling
@@ -116,6 +122,7 @@ class TrackAutoEncoder3D(nn.Module):
             mlp_size=self.input_track_mlp, num_layers=self.input_track_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.tracks_to_latents = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -123,18 +130,21 @@ class TrackAutoEncoder3D(nn.Module):
             num_layers=self.tracks_to_latents_layers, dtype=self.dtype,
             use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.decompress_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.decompress_mlp, num_layers=self.decompress_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.track_readout_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.readout_mlp, num_layers=self.readout_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.query_encoder = nn.Dense(self.decoder_num_channels, dtype=self.dtype)
         self.track_predictor = nn.Dense(self.num_output_frames * 4, dtype=self.dtype)

@@ -127,6 +127,9 @@ class TrackAutoEncoder(nn.Module):
     # matmul (2x MXU rate on v5e, ~90% of model FLOPs; identical param
     # tree — see tdspa/core/quant.py). Inference-path knob.
     quantize: bool = False
+    # Residual-stream activation dtype (f32 default = reference numerics;
+    # bf16 halves residual/elementwise HBM traffic — inference-path knob).
+    residual_dtype: Any = jnp.float32
 
     # Transformer stack shapes. Defaults match the reference exactly
     # (track_autoencoder.py:148-171); exposed as config for scaling studies
@@ -162,6 +165,7 @@ class TrackAutoEncoder(nn.Module):
             mlp_size=self.input_track_mlp, num_layers=self.input_track_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.tracks_to_latents = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -169,18 +173,21 @@ class TrackAutoEncoder(nn.Module):
             num_layers=self.tracks_to_latents_layers, dtype=self.dtype,
             use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.decompress_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.decompress_mlp, num_layers=self.decompress_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.track_readout_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
             mlp_size=self.readout_mlp, num_layers=self.readout_layers,
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
+            residual_dtype=self.residual_dtype,
         )
         self.query_encoder = nn.Dense(self.decoder_num_channels, dtype=self.dtype)
         self.track_predictor = nn.Dense(

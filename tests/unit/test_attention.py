@@ -134,3 +134,25 @@ def test_bf16_compute_close_to_f32():
     o16 = stack16.apply(variables, x)
     assert o16.dtype == jnp.float32  # residual stream stays f32
     np.testing.assert_allclose(np.asarray(o32), np.asarray(o16), atol=0.15)
+
+
+def test_bf16_residual_close_to_f32():
+    # Inference-only knob: bf16 residual stream (halves the decoder's
+    # elementwise/HBM traffic — docs/BENCHMARKS.md "Decode roofline").
+    stack32 = TransformerStack(qkv_size=16, num_heads=2, mlp_size=32, num_layers=2)
+    stack16 = TransformerStack(
+        qkv_size=16, num_heads=2, mlp_size=32, num_layers=2,
+        dtype=jnp.bfloat16, residual_dtype=jnp.bfloat16,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    variables = stack32.init(jax.random.PRNGKey(1), x)
+    o32 = stack32.apply(variables, x)
+    o16 = stack16.apply(variables, x)
+    assert o16.dtype == jnp.bfloat16
+    # Same param tree: the knob must not change checkpoint structure.
+    assert jax.tree.structure(stack16.init(jax.random.PRNGKey(1), x)) == (
+        jax.tree.structure(variables)
+    )
+    np.testing.assert_allclose(
+        np.asarray(o32), np.asarray(o16, dtype=np.float32), atol=0.2
+    )

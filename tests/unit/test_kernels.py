@@ -168,3 +168,25 @@ def test_vit_attention_fused_path_matches_einsum(monkeypatch):
     )
     got = model.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-2)
+
+
+def test_fused_attention_bf16_out_dtype_matches_f32():
+    # out_dtype=bf16 writes the kernel result to HBM in bf16 (the consumer
+    # casts to bf16 anyway); values must equal the f32 result rounded.
+    from tdspa.kernels.attention import fused_masked_attention
+
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv, km = jax.random.split(rng, 4)
+    q = jax.random.normal(kq, (4, 8, 2, 16))
+    k = jax.random.normal(kk, (4, 12, 2, 16))
+    v = jax.random.normal(kv, (4, 12, 2, 16))
+    mask = (jax.random.uniform(km, (4, 12)) > 0.3).astype(jnp.float32)
+    out32 = fused_masked_attention(q, k, v, mask, interpret=True)
+    out16 = fused_masked_attention(
+        q, k, v, mask, interpret=True, out_dtype=jnp.bfloat16
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out32.astype(jnp.bfloat16), np.float32),
+        np.asarray(out16, np.float32),
+    )
