@@ -28,6 +28,46 @@ def _texture(rng, height, width, cell: int = 4) -> np.ndarray:
     )
 
 
+def _deform_field(shape_xy, t, amp, cycles, period, phases):
+    """Smooth displacement D(x, y, t) -> (dx, dy), zero at t = 0.
+
+    Two low-frequency sinusoid components per axis over the frame, scaled
+    by sin(2 pi t / period) so frame 0 is undeformed. ``amp * 2 pi *
+    cycles / min(H, W) < 1`` keeps the warp a diffeomorphism (the GT
+    fixed-point solve then converges and occlusion ordering is preserved).
+    """
+    x, y = shape_xy  # broadcastable arrays of pixel coordinates
+    (px1, py1, px2, py2), (w, h) = phases
+    temporal = np.sin(2 * np.pi * t / period)
+    sx = 2 * np.pi * cycles
+    dx = amp * temporal * (
+        np.sin(sx * (x / w + 0.6 * y / h) + px1)
+        + 0.5 * np.sin(2 * sx * (0.3 * x / w - y / h) + px2)
+    )
+    dy = amp * temporal * (
+        np.sin(sx * (0.7 * y / h - 0.4 * x / w) + py1)
+        + 0.5 * np.sin(2 * sx * (x / w + 0.5 * y / h) + py2)
+    )
+    return dx, dy
+
+
+def _bilinear(img, x, y):
+    """Sample [H W 3] at float coords (clamped); x/y any matching shape."""
+    h, w = img.shape[:2]
+    x = np.clip(x, 0.0, w - 1.0)
+    y = np.clip(y, 0.0, h - 1.0)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    imgf = img.astype(np.float32)
+    top = imgf[y0, x0] * (1 - fx) + imgf[y0, x1] * fx
+    bot = imgf[y1, x0] * (1 - fx) + imgf[y1, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def make_tracking_scene(
     num_frames: int = 24,
     height: int = 160,
@@ -40,6 +80,9 @@ def make_tracking_scene(
     noise_sigma: float = 0.0,
     contrast: float = 1.0,
     gain_flicker: float = 0.0,
+    deform_amp: float = 0.0,
+    deform_cycles: float = 1.5,
+    deform_period: float = 16.0,
 ):
     """Render a scene and its exact tracking ground truth.
 
@@ -56,6 +99,19 @@ def make_tracking_scene(
       ``contrast``: global contrast scale about 128 (< 1 = low-texture).
       ``gain_flicker``: per-frame multiplicative exposure swing amplitude
         (frame t is scaled by 1 + a*sin(2 pi t / 8)).
+
+    Non-rigid deformation (``deform_amp`` > 0, applied to GEOMETRY — the
+    composited frame is backward-warped by a smooth analytic displacement
+    field and the ground-truth tracks are moved with it): frame t's pixel
+    (x, y) shows composite content at (x, y) - D(x, y, t), so content
+    moves by ~+D; a point whose rigid composite position is c appears at
+    the x solving x - D(x, t) = c, solved here by fixed-point iteration
+    (exact to < 1e-4 px — D is a contraction when ``deform_amp *
+    2 pi * deform_cycles / min(H, W) < 1``). This is the deforming-content
+    regime (CoTracker-class trackers train on it; rigid LK templates and
+    frame-0 NCC degrade under it). D(., 0) = 0, so frame-0 queries and
+    surface attachment are unchanged. Occlusion ordering is warp-invariant
+    (the warp is a diffeomorphism applied to the whole composite).
 
     Returns:
       video: [T H W 3] uint8.
@@ -103,6 +159,21 @@ def make_tracking_scene(
         return frame
 
     video = np.stack([render(t) for t in range(num_frames)])
+
+    # Non-rigid warp of the composite (geometry; before photometrics).
+    phases = None
+    if deform_amp > 0.0:
+        phases = (tuple(rng.uniform(0.0, 2 * np.pi, 4)), (width, height))
+        ygrid, xgrid = np.mgrid[0:height, 0:width].astype(np.float32)
+        warped = []
+        for t in range(num_frames):
+            dx, dy = _deform_field(
+                (xgrid, ygrid), t, deform_amp, deform_cycles,
+                deform_period, phases,
+            )
+            warped.append(_bilinear(video[t], xgrid - dx, ygrid - dy))
+        video = np.clip(np.stack(warped), 0, 255).astype(np.uint8)
+
     if contrast != 1.0 or noise_sigma > 0.0 or gain_flicker > 0.0:
         v = video.astype(np.float32)
         if contrast != 1.0:
@@ -145,4 +216,24 @@ def make_tracking_scene(
             tracks[i, t] = (px, py)
             in_bounds = 0 <= px < width and 0 <= py < height
             visible[i, t] = in_bounds and topmost_surface(px, py, t) == owner
+
+    if deform_amp > 0.0:
+        # Move the GT with the warp: the point whose rigid composite
+        # position is c appears at the x solving x - D(x, t) = c
+        # (fixed-point; D is a contraction — see the docstring).
+        for t in range(num_frames):
+            c = tracks[:, t, :].copy()
+            x = c.copy()
+            for _ in range(12):
+                dx, dy = _deform_field(
+                    (x[:, 0], x[:, 1]), t, deform_amp, deform_cycles,
+                    deform_period, phases,
+                )
+                x = c + np.stack([dx, dy], axis=-1)
+            tracks[:, t] = x.astype(np.float32)
+            in_b = (
+                (x[:, 0] >= 0) & (x[:, 0] < width)
+                & (x[:, 1] >= 0) & (x[:, 1] < height)
+            )
+            visible[:, t] &= in_b
     return video, tracks, visible

@@ -175,3 +175,29 @@ def test_shipped_matcher_does_not_break_clean_scene(shipped):
     q = tracking_quality(tracker(video), gt_tracks, gt_vis)
     assert q["pts_within_2"] > 0.9, q
     assert q["visibility_accuracy"] > 0.85, q
+
+
+@pytest.mark.parametrize("seed", (200, 201))
+def test_shipped_matcher_handles_deforming_content(shipped, seed):
+    """Non-rigid warps (smooth analytic deformation field, exact GT —
+    tdspa/utils/synthetic_video.py) on top of degradation: the learned
+    matcher must keep tracking where classical LK+NCC collapses (the
+    CoTracker-class deforming-content regime). Measured (shipped rigid-
+    trained weights): pts2 0.83/0.86 vs 0.54/0.54 classical, visibility
+    accuracy 0.81/0.83 vs 0.40/0.37 (docs/BENCHMARKS.md "Non-rigid
+    content"; deformation-augmented retraining measured neutral — see
+    make_training_scenes)."""
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=seed, deform_amp=5.0, **DEGRADE
+    )
+    base_tracker = PyramidalLKTracker(grid_size=12, device="cpu")
+    base = tracking_quality(base_tracker(video), gt_tracks, gt_vis)
+    m_tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher=shipped)
+    ours = tracking_quality(m_tracker(video), gt_tracks, gt_vis)
+    assert ours["pts_within_2"] > 0.75, (base, ours)
+    assert ours["pts_within_2"] > base["pts_within_2"] + 0.15, (base, ours)
+    assert ours["visibility_accuracy"] > 0.75, (base, ours)
+    assert ours["visibility_accuracy"] > base["visibility_accuracy"] + 0.3, (
+        base, ours,
+    )
+    assert ours["occlusion_recall"] > 0.7, (base, ours)

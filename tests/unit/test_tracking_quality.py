@@ -135,3 +135,26 @@ def test_pallas_kernel_quality_matches_xla(monkeypatch):
     )
     assert q["pts_within_2"] > 0.85, q
     assert q["visibility_accuracy"] > 0.85, q
+
+
+def test_deforming_scene_ground_truth_consistency():
+    """Non-rigid mode: GT must satisfy the warp's defining equation
+    (x - D(x, t) = rigid composite position) and frame 0 must be
+    undeformed. Guards the fixed-point inversion in make_tracking_scene."""
+    rigid = make_tracking_scene(seed=5, num_sprites=0, num_frames=16)
+    deform = make_tracking_scene(
+        seed=5, num_sprites=0, num_frames=16, deform_amp=5.0
+    )
+    # Frame 0 identical (D(., 0) = 0): same queries, same first frame.
+    np.testing.assert_array_equal(deform[1][:, 0], rigid[1][:, 0])
+    np.testing.assert_array_equal(deform[0][0], rigid[0][0])
+    # The warp actually moves content (several px) yet stays smooth.
+    disp = np.linalg.norm(deform[1] - rigid[1], axis=-1)
+    assert disp.max() > 3.0
+    assert disp.max() < 12.0  # amp 5 * (1 + 0.5) components bound
+    # A perfect oracle still scores perfectly on the deformed GT.
+    q = tracking_quality(
+        {"tracks": deform[1], "visible": deform[2].astype(np.float32)},
+        deform[1], deform[2],
+    )
+    assert q["visibility_accuracy"] == 1.0
