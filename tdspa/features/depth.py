@@ -352,13 +352,18 @@ class VideoDepthEstimator:
         frame_chunk: int = 8,
         vit_config: ViTConfig | None = None,
         head_cfg: dict | None = None,
+        residual_dtype=jnp.float32,
     ):
         cfg = dict(VDA_MODEL_CONFIGS[encoder])
         if head_cfg:
             cfg.update(head_cfg)
         self.cfg = cfg
         self.vit_config = vit_config or ViTConfig.preset(encoder)
-        self.backbone = Dinov2Flax(config=self.vit_config, dtype=dtype)
+        # residual_dtype=bf16: backbone residual stream in bf16 (same knob
+        # as the model stacks; taps are final-layernormed back to f32).
+        self.backbone = Dinov2Flax(
+            config=self.vit_config, dtype=dtype, residual_dtype=residual_dtype
+        )
         motion_structure = motion_structure or {}
         self.head = DPTHead(
             features=cfg["features"],

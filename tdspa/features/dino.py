@@ -57,10 +57,15 @@ class DinoFeatureExtractor:
         # 8 divides the pipeline's upload chunks (40/30 frames), so streamed
         # per-chunk calls pad nothing (16 padded 40 -> 48, a 13% waste).
         frame_chunk: int = 8,
+        residual_dtype=jnp.float32,
     ):
         preset = _NAME_TO_PRESET.get(model_name, "vitb")
         self.config = ViTConfig.preset(preset)
-        self.model = Dinov2Flax(config=self.config, dtype=dtype)
+        # residual_dtype=bf16: ViT residual stream in bf16 (same knob as
+        # the model stacks; final layernorm emits f32 features either way).
+        self.model = Dinov2Flax(
+            config=self.config, dtype=dtype, residual_dtype=residual_dtype
+        )
         self.frame_chunk = frame_chunk
         if params is None:
             params = load_dinov2_params(model_name, self.config)

@@ -120,21 +120,32 @@ class _Attention(nn.Module):
 class _Block(nn.Module):
     config: Any
     dtype: Any = jnp.float32
+    # Residual-stream dtype (f32 default; bf16 halves the stack's
+    # elementwise/HBM traffic — same knob as tdspa/core/attention.py,
+    # measured there at +22% on the decode stack; norm statistics stay
+    # f32 via flax's internal upcast).
+    residual_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = self.config
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.residual_dtype, name="norm1"
+        )(x)
         h = _Attention(
             c.hidden_size, c.num_heads, dtype=self.dtype, name="attention"
         )(h)
+        # Cast the f32 layer-scale params down rather than letting them
+        # promote the whole residual back to f32.
         h = h * self.param(
             "layer_scale1",
             nn.initializers.constant(c.layerscale_value),
             (c.hidden_size,),
-        )
-        x = x + h
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="norm2")(x)
+        ).astype(self.residual_dtype)
+        x = x.astype(self.residual_dtype) + h
+        h = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.residual_dtype, name="norm2"
+        )(x)
         h = nn.Dense(c.hidden_size * c.mlp_ratio, dtype=self.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)  # HF uses exact-erf GELU
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -142,8 +153,8 @@ class _Block(nn.Module):
             "layer_scale2",
             nn.initializers.constant(c.layerscale_value),
             (c.hidden_size,),
-        )
-        return x + h
+        ).astype(self.residual_dtype)
+        return x + h.astype(self.residual_dtype)
 
 
 def interpolate_pos_embed(pos_embed, new_height, new_width):
@@ -176,6 +187,7 @@ class Dinov2Flax(nn.Module):
 
     config: Any
     dtype: Any = jnp.float32
+    residual_dtype: Any = jnp.float32  # see _Block.residual_dtype
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -208,7 +220,12 @@ class Dinov2Flax(nn.Module):
         x = x + interpolate_pos_embed(pos_embed, hp, wp)
 
         for i in range(c.num_layers):
-            x = _Block(config=c, dtype=self.dtype, name=f"layer_{i}")(x)
+            x = _Block(
+                config=c, dtype=self.dtype,
+                residual_dtype=self.residual_dtype, name=f"layer_{i}",
+            )(x)
+        # Final norm emits f32 regardless of the residual dtype: the token
+        # features feed projections / the DPT head at a stable interface.
         return nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layernorm"
         )(x)

@@ -221,6 +221,9 @@ class InferencePipeline:
         # unchunked grouping (its lax.map groups are 8 frames).
         self.upload_chunk_frames = upload_chunk_frames
         self.upload_yuv420 = upload_yuv420
+        # Applied to the model's transformer stacks AND the lazily-built
+        # DINOv2/VDA backbones (explicitly-passed providers keep their own).
+        self.residual_dtype = residual_dtype or jnp.float32
         self.model = model or TrackAutoEncoder3D(
             num_output_frames=num_output_frames,
             use_dino=use_dino,
@@ -237,8 +240,8 @@ class InferencePipeline:
             quantize=quantize,
             # bf16 residual stream halves the decoder's elementwise/HBM
             # traffic (the profiled non-matmul floor — docs/BENCHMARKS.md
-            # "Decode profile"); default keeps the reference's f32 residual.
-            residual_dtype=residual_dtype or jnp.float32,
+            # "Residual dtype"); default keeps the reference's f32 residual.
+            residual_dtype=self.residual_dtype,
         )
         self._mesh_tail = None
         self._track_provider = track_provider
@@ -269,7 +272,8 @@ class InferencePipeline:
             from tdspa.features.dino import DinoFeatureExtractor
 
             self._dino_extractor = DinoFeatureExtractor(
-                model_name=self.dino_model_name
+                model_name=self.dino_model_name,
+                residual_dtype=self.residual_dtype,
             )
         return self._dino_extractor
 
@@ -278,7 +282,10 @@ class InferencePipeline:
         if self._depth_provider is None:
             from tdspa.features.depth import VideoDepthEstimator
 
-            self._depth_provider = VideoDepthEstimator(encoder=self.vda_encoder)
+            self._depth_provider = VideoDepthEstimator(
+                encoder=self.vda_encoder,
+                residual_dtype=self.residual_dtype,
+            )
         return self._depth_provider
 
     def load_params(self, example_batch):

@@ -90,3 +90,23 @@ def test_interpolate_pos_embed_identity():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pe))
     out2 = interpolate_pos_embed(pe, 3, 3)
     assert out2.shape == (1, 10, 8)
+
+
+def test_bf16_residual_close_to_f32_residual():
+    """residual_dtype=bf16 (serving knob; halves ViT elementwise/HBM
+    traffic) must stay within bf16 rounding of the f32-residual stack and
+    keep the same param tree + f32 output interface."""
+    config = ViTConfig(hidden_size=96, num_layers=3, num_heads=4)
+    m32 = Dinov2Flax(config=config, dtype=jnp.bfloat16)
+    m16 = Dinov2Flax(
+        config=config, dtype=jnp.bfloat16, residual_dtype=jnp.bfloat16
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 42, 42, 3))
+    params = m32.init(jax.random.PRNGKey(1), x)
+    o32, o16 = m32.apply(params, x), m16.apply(params, x)
+    assert o16.dtype == jnp.float32
+    assert jax.tree.structure(m16.init(jax.random.PRNGKey(1), x)) == (
+        jax.tree.structure(params)
+    )
+    a, b = np.asarray(o32, np.float32), np.asarray(o16, np.float32)
+    assert np.abs(a - b).max() / np.abs(a).max() < 0.03
