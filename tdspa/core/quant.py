@@ -47,7 +47,20 @@ def _dynamic_int8(x, axis):
 
 def int8_matmul(x, w):
     """x [... m k] @ w [k n] with dynamic int8 inputs, int32 MXU
-    accumulation, exact outer-product dequantization."""
+    accumulation, exact outer-product dequantization.
+
+    On TPU, dispatches to the fused Pallas kernel
+    (tdspa/kernels/quant_matmul.py): activation quantization happens in
+    VMEM instead of costing extra HBM round trips — the overhead that made
+    this XLA path 27% slower than bf16 (docs/BENCHMARKS.md round 3).
+    """
+    from tdspa.kernels.quant_matmul import quant_matmul, quant_matmul_fits
+
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and quant_matmul_fits(x.shape[-1], w.shape[-1])
+    ):
+        return quant_matmul(x, w)
     xq, xs = _dynamic_int8(x, axis=-1)         # row scales [... m 1]
     wq, ws = _dynamic_int8(w, axis=0)          # col scales [1 n]
     acc = jax.lax.dot_general(

@@ -190,3 +190,34 @@ def test_fused_attention_bf16_out_dtype_matches_f32():
         np.asarray(out32.astype(jnp.bfloat16), np.float32),
         np.asarray(out16, np.float32),
     )
+
+
+def test_quant_matmul_pallas_matches_xla_int8():
+    """Fused-quant kernel (interpret) == the XLA dynamic-int8 path up to
+    the bf16 input staging; both within int8 rounding of the f32 matmul."""
+    from tdspa.core.quant import int8_matmul
+    from tdspa.kernels.quant_matmul import quant_matmul
+
+    rng = jax.random.PRNGKey(11)
+    for m, k, n in ((96, 384, 768), (130, 768, 1280)):
+        kx, kw = jax.random.split(jax.random.fold_in(rng, m))
+        x = jax.random.normal(kx, (m, k)) * 3.0
+        w = jax.random.normal(kw, (k, n)) * 0.05
+        ref = np.asarray(int8_matmul(x, w))
+        got = np.asarray(quant_matmul(x, w, interpret=True))
+        exact = np.asarray(x @ w)
+        scale = np.abs(exact).max()
+        assert np.abs(ref - got).max() / scale < 0.01
+        assert np.abs(got - exact).max() / scale < 0.02  # int8 rounding
+
+
+def test_quant_matmul_pallas_leading_dims_and_padding():
+    from tdspa.kernels.quant_matmul import quant_matmul
+
+    rng = jax.random.PRNGKey(12)
+    x = jax.random.normal(rng, (3, 37, 256))  # M = 111: forces row padding
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (256, 512)) * 0.1
+    got = np.asarray(quant_matmul(x, w, interpret=True))
+    exact = np.asarray(x @ w)
+    assert got.shape == (3, 37, 512)
+    assert np.abs(got - exact).max() / np.abs(exact).max() < 0.02
