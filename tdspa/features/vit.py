@@ -73,6 +73,10 @@ class _Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     use_fused: bool = True
+    # bf16 kernel output (engaged by the bf16 residual stream): the output
+    # projection casts to the compute dtype anyway, so a bf16 HBM write
+    # halves this intermediate's traffic at zero extra rounding.
+    kernel_out_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -92,10 +96,18 @@ class _Attention(nn.Module):
             # [B, H, S, S] logits in HBM — ~1.3 GB per layer per 16-frame
             # chunk at 1297 tokens — making feature extraction
             # bandwidth-bound. Differentiable via the XLA-recompute vjp.
-            from tdspa.kernels.attention import fused_attention
-
             # (1/sqrt(head_dim) scaling is applied inside the kernel.)
-            out = fused_attention(q, k, v, None)
+            if self.kernel_out_dtype == jnp.float32:
+                # Differentiable wrapper (XLA-recompute backward).
+                from tdspa.kernels.attention import fused_attention
+
+                out = fused_attention(q, k, v, None)
+            else:
+                from tdspa.kernels.attention import fused_masked_attention
+
+                out = fused_masked_attention(
+                    q, k, v, None, out_dtype=self.kernel_out_dtype
+                )
             return nn.DenseGeneral(
                 self.hidden_size, axis=(-2, -1), dtype=self.dtype, name="output"
             )(out.astype(self.dtype))
@@ -133,7 +145,8 @@ class _Block(nn.Module):
             epsilon=c.layer_norm_eps, dtype=self.residual_dtype, name="norm1"
         )(x)
         h = _Attention(
-            c.hidden_size, c.num_heads, dtype=self.dtype, name="attention"
+            c.hidden_size, c.num_heads, dtype=self.dtype,
+            kernel_out_dtype=self.residual_dtype, name="attention"
         )(h)
         # Cast the f32 layer-scale params down rather than letting them
         # promote the whole residual back to f32.
