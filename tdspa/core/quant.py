@@ -54,13 +54,12 @@ def int8_matmul(x, w):
     VMEM instead of costing extra HBM round trips — the overhead that made
     this XLA path 27% slower than bf16 (docs/BENCHMARKS.md round 3).
     """
-    from tdspa.kernels.quant_matmul import quant_matmul, quant_matmul_fits
+    from tdspa.kernels import quant_matmul as _kq
 
     if (
-        jax.default_backend() in ("tpu", "axon")
-        and quant_matmul_fits(x.shape[-1], w.shape[-1])
-    ):
-        return quant_matmul(x, w)
+        jax.default_backend() in ("tpu", "axon") or _kq.INTERPRET_DEFAULT
+    ) and _kq.quant_matmul_fits(x.shape[-1], w.shape[-1]):
+        return _kq.quant_matmul(x, w)
     xq, xs = _dynamic_int8(x, axis=-1)         # row scales [... m 1]
     wq, ws = _dynamic_int8(w, axis=0)          # col scales [1 n]
     acc = jax.lax.dot_general(

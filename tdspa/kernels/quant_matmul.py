@@ -44,6 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Force interpret-mode kernels (CPU tests of the TPU dispatch path, e.g.
+# the quantized mesh tail on the virtual-device mesh). Read at TRACE time.
+INTERPRET_DEFAULT = False
+
+
 def _quant_matmul_kernel(x_ref, wq_ref, ws_ref, out_ref):
     """One M tile: quantize rows in VMEM, s8 MXU dot, fused dequant.
 
@@ -116,13 +121,85 @@ def _quant_matmul_pallas(x2d, wq, ws, interpret=False):
     return out[:m] if pad else out
 
 
+# SPMD wrapping (same pattern as kernels/attention.py): declare the kernel
+# row-parallel over x's leading axis with replicated weight/scales, so a
+# mesh-sharded decode keeps the kernel on local shards instead of GSPMD
+# replicating everything around the opaque pallas call.
+
+
+def _row_sharding(mesh, row_axes, info):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ndim = len(info.shape)
+    return NamedSharding(
+        mesh, PartitionSpec(row_axes, *([None] * (ndim - 1)))
+    )
+
+
+def _repl_sharding(mesh, info):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(*([None] * len(info.shape))))
+
+
+def _row_axes(mesh, x_info):
+    spec = getattr(x_info.sharding, "spec", None)
+    if not spec or len(spec) == 0 or spec[0] is None:
+        return None
+    axes = spec[0]
+    names = axes if isinstance(axes, tuple) else (axes,)
+    nshards = 1
+    for a in names:
+        nshards *= mesh.shape[a]
+    if x_info.shape[0] % nshards:
+        return None
+    return axes
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_quant_matmul(interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def base(x2d, wq, ws):
+        return _quant_matmul_pallas(x2d, wq, ws, interpret=interpret)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _row_sharding(
+            mesh, _row_axes(mesh, arg_shapes[0]), result_shape
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        row_axes = _row_axes(mesh, arg_shapes[0])
+        arg_shardings = (
+            _row_sharding(mesh, row_axes, arg_shapes[0]),
+            _repl_sharding(mesh, arg_shapes[1]),
+            _repl_sharding(mesh, arg_shapes[2]),
+        )
+        result_sharding = _row_sharding(mesh, row_axes, result_shape)
+
+        def lower(*args):
+            return base(*args)
+
+        return mesh, lower, result_sharding, arg_shardings
+
+    fn = custom_partitioning(base)
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="m k, k n, o n -> m n",
+    )
+    return fn
+
+
 def quant_matmul(x, w, interpret: bool = False):
     """x [... K] @ w [K, N] via fused dynamic-int8: returns [... N] f32.
 
     Semantics match tdspa.core.quant.int8_matmul (per-row activation /
     per-column weight symmetric scales, s32 accumulation, exact
     outer-product dequantization); only the schedule differs — activation
-    quantization happens in VMEM with no extra HBM traffic.
+    quantization happens in VMEM with no extra HBM traffic. SPMD-capable:
+    under a mesh, x's leading (token) axis shards and each device runs the
+    kernel on its local rows with the int8 weight replicated.
     """
     k = x.shape[-1]
     n = w.shape[-1]
@@ -131,5 +208,5 @@ def quant_matmul(x, w, interpret: bool = False):
     ws = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)
     wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
     x2d = x.reshape(-1, k)
-    out = _quant_matmul_pallas(x2d, wq, ws, interpret=interpret)
+    out = _spmd_quant_matmul(interpret or INTERPRET_DEFAULT)(x2d, wq, ws)
     return out.reshape(x.shape[:-1] + (n,))

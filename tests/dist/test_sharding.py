@@ -123,3 +123,28 @@ def test_quantized_forward_sharded_matches_single_device():
     a, b = np.asarray(out1.tracks), np.asarray(out2.tracks)
     np.testing.assert_allclose(a, b, atol=0.05)
     assert np.mean(np.abs(a - b) < 1e-6) > 0.99  # almost all exact
+
+
+def test_quant_matmul_row_sharded_matches_replicated():
+    """The fused-quant kernel's custom_partitioning: token-axis-sharded
+    input == unsharded result (weights replicate; each device quantizes
+    and matmuls its local rows)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    import tdspa.kernels.quant_matmul as kq
+
+    old = kq.INTERPRET_DEFAULT
+    kq.INTERPRET_DEFAULT = True
+    try:
+        mesh = make_mesh()
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 256)) * 2.0
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 512)) * 0.1
+        ref = np.asarray(kq.quant_matmul(x, w))
+        xs = jax.device_put(
+            x, NamedSharding(mesh, PartitionSpec(("data", "seq"), None))
+        )
+        with mesh:
+            got = np.asarray(jax.jit(kq.quant_matmul)(xs, w))
+        np.testing.assert_allclose(ref, got, atol=1e-4)
+    finally:
+        kq.INTERPRET_DEFAULT = old
