@@ -194,3 +194,49 @@ def test_mesh_tail_matches_single_device_fused(monkeypatch):
         np.asarray(ref_pred.visible_logits),
         atol=2e-4,
     )
+
+
+@requires_8
+def test_mesh_tail_serving_config(monkeypatch):
+    """The full TPU serving config — fused attention + fused int8
+    projections + bf16 residual stream — composes under the mesh (every
+    kernel is custom_partitioning-wrapped) and stays within the combined
+    error bound of the two rewrites (int8 < 2%, bf16 residual < 1%)."""
+    import tdspa.kernels.attention as ka
+    import tdspa.kernels.quant_matmul as kq
+
+    monkeypatch.setattr(ka, "INTERPRET_DEFAULT", True)
+    monkeypatch.setattr(kq, "INTERPRET_DEFAULT", True)
+
+    rng = jax.random.PRNGKey(0)
+    tracks_2d, visible, dino_grid, depth_maps = _front_end(rng)
+    ref_model = tiny_model_3d(
+        T, use_dino=True, use_depth=True, dino_feature_dim=8
+    )
+    serving = tiny_model_3d(
+        T, use_dino=True, use_depth=True, dino_feature_dim=8,
+        fused_attention=True, quantize=True, residual_dtype=jnp.bfloat16,
+    )
+    key = jax.random.PRNGKey(7)
+
+    ref_pred, _, _ = _run_single(
+        ref_model, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+
+    mesh = make_mesh(seq=2)
+    tail = make_mesh_tail(mesh, serving, N_SUPPORT, N_QUERIES, (H, W), True, True)
+    # Same param tree: the serving rewrites must load the same checkpoint.
+    params = _init_params(
+        ref_model, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+    got_pred, _, _ = tail(params, tracks_2d, visible, dino_grid, depth_maps, key)
+
+    ref_t = np.asarray(ref_pred.tracks)
+    got_t = np.asarray(got_pred.tracks, dtype=np.float32)
+    scale = np.abs(ref_t).max()
+    assert np.abs(ref_t - got_t).max() / scale < 0.03, (
+        np.abs(ref_t - got_t).max() / scale
+    )
+    ref_v = np.asarray(ref_pred.visible_logits)
+    got_v = np.asarray(got_pred.visible_logits, dtype=np.float32)
+    assert np.abs(ref_v - got_v).max() / np.abs(ref_v).max() < 0.05
