@@ -28,13 +28,18 @@ def _texture(rng, height, width, cell: int = 4) -> np.ndarray:
     )
 
 
-def _deform_field(shape_xy, t, amp, cycles, period, phases):
+def _deform_field(shape_xy, t, amp, cycles, period, phases, zoom_rate=0.0):
     """Smooth displacement D(x, y, t) -> (dx, dy), zero at t = 0.
 
     Two low-frequency sinusoid components per axis over the frame, scaled
     by sin(2 pi t / period) so frame 0 is undeformed. ``amp * 2 pi *
     cycles / min(H, W) < 1`` keeps the warp a diffeomorphism (the GT
     fixed-point solve then converges and occlusion ordering is preserved).
+
+    ``zoom_rate`` adds a camera zoom about the frame center: scale
+    s_t = 1 + zoom_rate * t, expressed as the backward-warp displacement
+    D(x) = (1 - 1/s_t)(x - c) — exactly the affine x -> c + s_t (x - c)
+    after the fixed-point inversion (linear, converges for s_t > 0.5).
     """
     x, y = shape_xy  # broadcastable arrays of pixel coordinates
     (px1, py1, px2, py2), (w, h) = phases
@@ -48,6 +53,10 @@ def _deform_field(shape_xy, t, amp, cycles, period, phases):
         np.sin(sx * (0.7 * y / h - 0.4 * x / w) + py1)
         + 0.5 * np.sin(2 * sx * (x / w + 0.5 * y / h) + py2)
     )
+    if zoom_rate:
+        s_t = 1.0 + zoom_rate * t
+        dx = dx + (1.0 - 1.0 / s_t) * (x - w / 2.0)
+        dy = dy + (1.0 - 1.0 / s_t) * (y - h / 2.0)
     return dx, dy
 
 
@@ -83,6 +92,7 @@ def make_tracking_scene(
     deform_amp: float = 0.0,
     deform_cycles: float = 1.5,
     deform_period: float = 16.0,
+    zoom_rate: float = 0.0,
 ):
     """Render a scene and its exact tracking ground truth.
 
@@ -160,16 +170,17 @@ def make_tracking_scene(
 
     video = np.stack([render(t) for t in range(num_frames)])
 
-    # Non-rigid warp of the composite (geometry; before photometrics).
+    # Non-rigid / zoom warp of the composite (geometry; before photometrics).
     phases = None
-    if deform_amp > 0.0:
+    warp = deform_amp > 0.0 or zoom_rate != 0.0
+    if warp:
         phases = (tuple(rng.uniform(0.0, 2 * np.pi, 4)), (width, height))
         ygrid, xgrid = np.mgrid[0:height, 0:width].astype(np.float32)
         warped = []
         for t in range(num_frames):
             dx, dy = _deform_field(
                 (xgrid, ygrid), t, deform_amp, deform_cycles,
-                deform_period, phases,
+                deform_period, phases, zoom_rate=zoom_rate,
             )
             warped.append(_bilinear(video[t], xgrid - dx, ygrid - dy))
         video = np.clip(np.stack(warped), 0, 255).astype(np.uint8)
@@ -217,7 +228,7 @@ def make_tracking_scene(
             in_bounds = 0 <= px < width and 0 <= py < height
             visible[i, t] = in_bounds and topmost_surface(px, py, t) == owner
 
-    if deform_amp > 0.0:
+    if warp:
         # Move the GT with the warp: the point whose rigid composite
         # position is c appears at the x solving x - D(x, t) = c
         # (fixed-point; D is a contraction — see the docstring).
@@ -227,7 +238,7 @@ def make_tracking_scene(
             for _ in range(12):
                 dx, dy = _deform_field(
                     (x[:, 0], x[:, 1]), t, deform_amp, deform_cycles,
-                    deform_period, phases,
+                    deform_period, phases, zoom_rate=zoom_rate,
                 )
                 x = c + np.stack([dx, dy], axis=-1)
             tracks[:, t] = x.astype(np.float32)

@@ -158,3 +158,16 @@ def test_deforming_scene_ground_truth_consistency():
         deform[1], deform[2],
     )
     assert q["visibility_accuracy"] == 1.0
+
+
+def test_zoom_scene_ground_truth_is_exact_affine():
+    """zoom_rate renders x -> c + s_t (x - c) exactly (the affine folds
+    into the warp fixed-point machinery); measured tracker robustness to
+    2%/frame zoom is recorded in docs/BENCHMARKS.md."""
+    v, tr, vis = make_tracking_scene(
+        seed=1, num_sprites=0, zoom_rate=0.02, num_frames=16,
+    )
+    c = np.array([128.0, 80.0])  # frame center (W=256, H=160)
+    s_last = 1 + 0.02 * 15
+    expect = c + (tr[:, 0] - c) * s_last
+    assert np.abs(tr[:, -1] - expect).max() < 1e-3
