@@ -28,7 +28,8 @@ def _texture(rng, height, width, cell: int = 4) -> np.ndarray:
     )
 
 
-def _deform_field(shape_xy, t, amp, cycles, period, phases, zoom_rate=0.0):
+def _deform_field(shape_xy, t, amp, cycles, period, phases, zoom_rate=0.0,
+                  rot_rate=0.0):
     """Smooth displacement D(x, y, t) -> (dx, dy), zero at t = 0.
 
     Two low-frequency sinusoid components per axis over the frame, scaled
@@ -40,6 +41,10 @@ def _deform_field(shape_xy, t, amp, cycles, period, phases, zoom_rate=0.0):
     s_t = 1 + zoom_rate * t, expressed as the backward-warp displacement
     D(x) = (1 - 1/s_t)(x - c) — exactly the affine x -> c + s_t (x - c)
     after the fixed-point inversion (linear, converges for s_t > 0.5).
+
+    ``rot_rate`` (radians/frame) adds camera roll about the center:
+    D(x) = (x - c) - R(-theta_t)(x - c) — exactly x -> c + R(theta_t)(x - c)
+    after inversion (contraction for theta_t < pi/3).
     """
     x, y = shape_xy  # broadcastable arrays of pixel coordinates
     (px1, py1, px2, py2), (w, h) = phases
@@ -57,6 +62,12 @@ def _deform_field(shape_xy, t, amp, cycles, period, phases, zoom_rate=0.0):
         s_t = 1.0 + zoom_rate * t
         dx = dx + (1.0 - 1.0 / s_t) * (x - w / 2.0)
         dy = dy + (1.0 - 1.0 / s_t) * (y - h / 2.0)
+    if rot_rate:
+        th = rot_rate * t
+        rx, ry = x - w / 2.0, y - h / 2.0
+        # (x-c) - R(-theta)(x-c)
+        dx = dx + rx - (np.cos(th) * rx + np.sin(th) * ry)
+        dy = dy + ry - (-np.sin(th) * rx + np.cos(th) * ry)
     return dx, dy
 
 
@@ -93,6 +104,7 @@ def make_tracking_scene(
     deform_cycles: float = 1.5,
     deform_period: float = 16.0,
     zoom_rate: float = 0.0,
+    rot_rate: float = 0.0,
 ):
     """Render a scene and its exact tracking ground truth.
 
@@ -172,7 +184,7 @@ def make_tracking_scene(
 
     # Non-rigid / zoom warp of the composite (geometry; before photometrics).
     phases = None
-    warp = deform_amp > 0.0 or zoom_rate != 0.0
+    warp = deform_amp > 0.0 or zoom_rate != 0.0 or rot_rate != 0.0
     if warp:
         phases = (tuple(rng.uniform(0.0, 2 * np.pi, 4)), (width, height))
         ygrid, xgrid = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -181,6 +193,7 @@ def make_tracking_scene(
             dx, dy = _deform_field(
                 (xgrid, ygrid), t, deform_amp, deform_cycles,
                 deform_period, phases, zoom_rate=zoom_rate,
+                rot_rate=rot_rate,
             )
             warped.append(_bilinear(video[t], xgrid - dx, ygrid - dy))
         video = np.clip(np.stack(warped), 0, 255).astype(np.uint8)
@@ -239,6 +252,7 @@ def make_tracking_scene(
                 dx, dy = _deform_field(
                     (x[:, 0], x[:, 1]), t, deform_amp, deform_cycles,
                     deform_period, phases, zoom_rate=zoom_rate,
+                    rot_rate=rot_rate,
                 )
                 x = c + np.stack([dx, dy], axis=-1)
             tracks[:, t] = x.astype(np.float32)

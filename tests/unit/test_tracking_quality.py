@@ -171,3 +171,15 @@ def test_zoom_scene_ground_truth_is_exact_affine():
     s_last = 1 + 0.02 * 15
     expect = c + (tr[:, 0] - c) * s_last
     assert np.abs(tr[:, -1] - expect).max() < 1e-3
+
+
+def test_rotation_scene_ground_truth_is_exact_affine():
+    """rot_rate renders x -> c + R(theta_t)(x - c) exactly."""
+    v, tr, vis = make_tracking_scene(
+        seed=1, num_sprites=0, rot_rate=np.deg2rad(1.0), num_frames=16,
+    )
+    c = np.array([128.0, 80.0])
+    th = np.deg2rad(15.0)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    expect = c + (tr[:, 0] - c) @ R.T
+    assert np.abs(tr[:, -1] - expect).max() < 1e-3
