@@ -68,10 +68,11 @@ flags.DEFINE_integer(
 )
 flags.DEFINE_string(
     "tracker_matcher", "",
-    "LK tracker: learned matching head ('' disables, 'default' = the "
-    "shipped pretrained matcher, else a matcher .npz path). Learned "
-    "appearance model for degraded content (noise/low contrast/flicker) — "
-    "see tdspa/features/matcher.py",
+    "LK tracker: learned matching head ('' disables, 'auto' = engage the "
+    "shipped matcher only when the video is photometrically degraded "
+    "(noise/low contrast/flicker — per-video estimate), 'default' = always "
+    "use the shipped pretrained matcher, else a matcher .npz path). See "
+    "tdspa/features/matcher.py",
 )
 
 

@@ -433,6 +433,53 @@ def train_matcher(
     return params, log
 
 
+# Auto-engagement thresholds, calibrated on the synthetic scene family
+# (docs/BENCHMARKS.md "Learned matcher" / "Camera zoom/roll" guidance):
+# the matcher WINS under photometric degradation (noise >= ~12 uint8,
+# contrast < ~45 p90-p10, exposure flicker) and mildly LOSES on clean or
+# affine-motion content, so auto engages only on the former. The noise
+# estimator is the 30th percentile of |horizontal second difference|
+# / sqrt(6) (~0.37 sigma on this scene family) — spatial, hence invariant
+# to camera/global motion (a temporal estimator mistakes pan for noise).
+AUTO_NOISE_SIGMA = 12.0
+AUTO_MIN_CONTRAST = 45.0
+AUTO_FLICKER = 0.05
+
+
+def estimate_degradation(video) -> dict:
+    """Cheap photometric-degradation estimate -> dict with ``degraded``.
+
+    video: [T H W (3)] uint8/float, host or device array. Samples 4
+    frames; all reductions run on the video's device (only scalars are
+    fetched — tunnel-safe for device-resident video).
+    """
+    v = jnp.asarray(video).astype(jnp.float32)
+    if v.ndim == 4 and v.shape[-1] == 3:
+        luma = v @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    else:
+        luma = v.reshape(v.shape[:3])
+    idx = np.linspace(0, luma.shape[0] - 1, min(4, luma.shape[0])).astype(int)
+    sub = luma[jnp.asarray(idx)]
+    r = jnp.abs(sub[:, :, 2:] - 2 * sub[:, :, 1:-1] + sub[:, :, :-2])
+    r = r / np.sqrt(6.0)
+    noise_sigma = float(jnp.percentile(r, 30)) / 0.37
+    contrast = float(
+        jnp.percentile(sub, 90) - jnp.percentile(sub, 10)
+    )
+    means = jnp.mean(luma, axis=(1, 2))
+    flicker = float(jnp.std(means) / (jnp.mean(means) + 1e-6))
+    return {
+        "noise_sigma": noise_sigma,
+        "contrast": contrast,
+        "flicker": flicker,
+        "degraded": (
+            noise_sigma >= AUTO_NOISE_SIGMA
+            or contrast < AUTO_MIN_CONTRAST
+            or flicker > AUTO_FLICKER
+        ),
+    }
+
+
 def default_matcher_path() -> str:
     """Path of the shipped pretrained matcher (tdspa/assets).
 

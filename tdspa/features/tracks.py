@@ -110,11 +110,16 @@ class PyramidalLKTracker:
         self.corr_iterations = corr_iterations
         self.corr_accept = corr_accept
         self.corr_rescue_level = corr_rescue_level
-        if isinstance(matcher, str):
+        if isinstance(matcher, str) and matcher != "auto":
             from tdspa.features.matcher import load_matcher
 
             matcher = load_matcher(matcher)
+        # 'auto': per-video decision — engage the shipped matcher only on
+        # photometrically degraded content (it wins big there and mildly
+        # loses on clean/affine-motion content; thresholds + calibration in
+        # tdspa/features/matcher.py::estimate_degradation).
         self.matcher = matcher
+        self._auto_matcher_params = None
         # Decision threshold on the matcher's visibility logit. 0.0 is the
         # BCE-optimal cut but under-calls occlusion (class imbalance even
         # after loss re-weighting); 0.5 measured best-balanced for the
@@ -123,8 +128,24 @@ class PyramidalLKTracker:
         self.matcher_vis_threshold = matcher_vis_threshold
         self.device = device
 
-    def _apply_matcher(self, video, tracks, visible, template_frame=None,
-                       template_pos=None, refine_first=False):
+    def _matcher_for(self, video):
+        """The matcher params to apply for THIS video (None = don't)."""
+        if self.matcher is None:
+            return None
+        if not isinstance(self.matcher, str):
+            return self.matcher
+        # 'auto' mode: estimate degradation on (a sample of) the video.
+        from tdspa.features.matcher import estimate_degradation, load_matcher
+
+        if not estimate_degradation(video)["degraded"]:
+            return None
+        if self._auto_matcher_params is None:
+            self._auto_matcher_params = load_matcher("default")
+        return self._auto_matcher_params
+
+    def _apply_matcher(self, video, tracks, visible, params,
+                       template_frame=None, template_pos=None,
+                       refine_first=False):
         """Learned-matcher post-pass: refined positions + learned visibility
         (the matcher's appearance model replaces the NCC one — see
         tdspa/features/matcher.py)."""
@@ -133,7 +154,7 @@ class PyramidalLKTracker:
         from tdspa.features.matcher import refine_tracks
 
         pos, vis_logit = refine_tracks(
-            self.matcher, video, tracks, template_frame=template_frame,
+            params, video, tracks, template_frame=template_frame,
             template_pos=template_pos, refine_first=refine_first,
         )
         vis = (vis_logit > self.matcher_vis_threshold).astype(jnp.float32)[
@@ -186,8 +207,11 @@ class PyramidalLKTracker:
             # costs seconds through a dev-tunnel transport and the pipeline
             # consumes these on device anyway.
             tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
-            if self.matcher is not None:
-                tracks, visible = self._apply_matcher(video, tracks, visible)
+            m = self._matcher_for(video)
+            if m is not None:
+                tracks, visible = self._apply_matcher(
+                    video, tracks, visible, m
+                )
             return {"tracks": tracks, "visible": visible}
         from tdspa.ops.lk import track_video_lk
 
@@ -200,9 +224,10 @@ class PyramidalLKTracker:
             tracks, visible = track_video_lk(
                 np.asarray(video), queries, **kwargs
             )
-            if self.matcher is not None:
+            m = self._matcher_for(video)
+            if m is not None:
                 tracks, visible = self._apply_matcher(
-                    video, tracks, visible
+                    video, tracks, visible, m
                 )
         return {
             "tracks": np.asarray(tracks, np.float32),
@@ -244,6 +269,9 @@ class PyramidalLKTracker:
         # the original query positions for every chunk — identical to the
         # single-call path's template.
         template_frame = _to_gray(chunks[0][:1])[0]
+        # Auto-mode decision from the first chunk (device-side reductions,
+        # scalar fetch only) — one decision for the whole video.
+        matcher_params = self._matcher_for(chunks[0])
         prev_last = None
         all_tracks, all_vis = [], []
         for c in chunks:
@@ -263,12 +291,12 @@ class PyramidalLKTracker:
             # one) so the LK trajectory — and therefore the whole result —
             # is identical to a single call on the concatenated video.
             lk_last = tr[:, -1]
-            if self.matcher is not None:
+            if matcher_params is not None:
                 # Per-chunk learned refinement is identical to one full-video
                 # pass: the matcher is stateless across frames given the
                 # (persistent) frame-0 template.
                 tr, vi = self._apply_matcher(
-                    c, tr, vi, template_frame=chunks[0][0],
+                    c, tr, vi, matcher_params, template_frame=chunks[0][0],
                     template_pos=queries,
                     refine_first=prev_last is not None,
                 )

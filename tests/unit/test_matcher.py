@@ -154,7 +154,7 @@ def test_chunked_matcher_matches_unchunked(shipped, monkeypatch):
         interpret=True,
     )
     ref_tracks, ref_vis = tracker._apply_matcher(
-        jnp.asarray(video), lk_tracks, lk_vis
+        jnp.asarray(video), lk_tracks, lk_vis, shipped
     )
     chunks = [jnp.asarray(video[0:4]), jnp.asarray(video[4:8]),
               jnp.asarray(video[8:10])]
@@ -201,3 +201,52 @@ def test_shipped_matcher_handles_deforming_content(shipped, seed):
         base, ours,
     )
     assert ours["occlusion_recall"] > 0.7, (base, ours)
+
+
+def test_estimate_degradation_regimes():
+    """The auto-engagement estimator: degraded regimes flag, clean and
+    affine-motion regimes don't (motion must not read as noise)."""
+    from tdspa.features.matcher import estimate_degradation
+
+    flags = {}
+    for name, kw in {
+        "clean": {},
+        "pan": dict(pan=(8, 0)),
+        "rot_mild": dict(rot_rate=float(np.deg2rad(1.0)), noise_sigma=10.0,
+                         contrast=0.7),
+        "degraded": DEGRADE,
+        "noise_only": dict(noise_sigma=15.0),
+        "low_contrast": dict(contrast=0.35),
+        "flicker": dict(gain_flicker=0.15),
+    }.items():
+        video, _, _ = make_tracking_scene(seed=0, **kw)
+        flags[name] = estimate_degradation(video)["degraded"]
+    assert not flags["clean"], flags
+    assert not flags["pan"], flags       # global motion is not noise
+    assert not flags["rot_mild"], flags  # matcher loses here (BENCHMARKS)
+    assert flags["degraded"], flags
+    assert flags["noise_only"], flags
+    assert flags["low_contrast"], flags
+    assert flags["flicker"], flags
+
+
+def test_matcher_auto_mode(shipped):
+    """matcher='auto': equals the always-on matcher on degraded content and
+    equals the classical tracker on clean content."""
+    auto = PyramidalLKTracker(grid_size=6, device="cpu", matcher="auto")
+    always = PyramidalLKTracker(grid_size=6, device="cpu", matcher=shipped)
+    classic = PyramidalLKTracker(grid_size=6, device="cpu")
+
+    degraded, _, _ = make_tracking_scene(
+        num_frames=8, height=96, width=128, grid_size=6, seed=7, **DEGRADE
+    )
+    np.testing.assert_allclose(
+        auto(degraded)["tracks"], always(degraded)["tracks"], atol=1e-5
+    )
+
+    clean, _, _ = make_tracking_scene(
+        num_frames=8, height=96, width=128, grid_size=6, seed=7
+    )
+    np.testing.assert_allclose(
+        auto(clean)["tracks"], classic(clean)["tracks"], atol=1e-5
+    )
