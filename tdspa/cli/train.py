@@ -40,6 +40,12 @@ flags.DEFINE_bool("use_depth", True, "Use depth features (for 3DSPA)")
 flags.DEFINE_string("dataset_path", None, "Dataset directory (.npz per video)")
 flags.DEFINE_integer("max_steps", None, "Stop after this many steps")
 flags.DEFINE_bool("tiny_model", False, "Use a tiny model config (smoke tests)")
+flags.DEFINE_bool(
+    "bf16", False,
+    "bfloat16 matmul compute in the model (params, optimizer state, "
+    "softmax, losses and the residual stream stay float32 — the standard "
+    "TPU mixed-precision training recipe; same checkpoint layout)",
+)
 flags.DEFINE_bool("use_wandb", True, "Log to WandB when available")
 flags.DEFINE_string("log_jsonl", None, "Also append metrics to this JSONL file")
 flags.DEFINE_integer("num_support_tracks", 2048, "Support tracks per example")
@@ -129,6 +135,10 @@ def main(argv):
         overrides["decoder_scan_chunk_size"] = FLAGS.decoder_scan_chunk_size
     if FLAGS.encoder_scan_chunk_size:
         overrides["encoder_scan_chunk_size"] = FLAGS.encoder_scan_chunk_size
+    if FLAGS.bf16:
+        import jax.numpy as jnp
+
+        overrides["dtype"] = jnp.bfloat16
 
     logging.info("devices: %s", jax.devices())
     train(

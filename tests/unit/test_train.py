@@ -181,3 +181,24 @@ def test_grad_accum_step_matches_full_batch_step():
         s_acc, m = accum(s_acc, batch)
         losses.append(float(m["train/loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_train_step_decreases_loss_bf16_compute():
+    """--bf16 training recipe: bf16 matmuls, f32 params/opt-state/losses.
+    The step must still descend and keep f32 parameters."""
+    rng = jax.random.PRNGKey(0)
+    batch = synthetic_batch(rng, batch=2, num_frames=T, num_coords=3)
+    state, model, tx, sched = create_model_state(
+        rng, batch, model_type="3dspa", learning_rate=1e-3, warmup_steps=1,
+        total_steps=100, num_output_frames=T, use_dino=False, use_depth=False,
+        dtype=jnp.bfloat16, **TINY_3D,
+    )
+    leaves = jax.tree.leaves(state.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+    step = make_train_step(model, tx, sched)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["train/loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
