@@ -315,8 +315,13 @@ def make_training_scenes(
             noise_sigma=float(rng.uniform(0.0, 25.0)),
             contrast=float(rng.uniform(0.35, 1.0)),
             gain_flicker=float(rng.uniform(0.0, 0.25)),
+            # Draw ONLY when enabled: even uniform(0, 0) advances the rng,
+            # which would shift every later scene's params away from the
+            # distribution the shipped weights were trained on.
             deform_amp=(
-                float(rng.uniform(0.0, deform_amp_max)) if i % 2 else 0.0
+                float(rng.uniform(0.0, deform_amp_max))
+                if (deform_amp_max > 0.0 and i % 2)
+                else 0.0
             ),
         )
         scenes.append((video, tracks, visible))
@@ -441,33 +446,60 @@ def train_matcher(
 # estimator is the 30th percentile of |horizontal second difference|
 # / sqrt(6) (~0.37 sigma on this scene family) — spatial, hence invariant
 # to camera/global motion (a temporal estimator mistakes pan for noise).
+# The flicker estimator (median |second difference| of frame means) reads
+# 0.063 on 15% exposure flicker vs <= 0.001 on clean / pan / a 60%-in-1s
+# linear fade / a hard scene cut (regression-tested).
 AUTO_NOISE_SIGMA = 12.0
 AUTO_MIN_CONTRAST = 45.0
 AUTO_FLICKER = 0.05
 
 
+@jax.jit
+def _degradation_stats(video):
+    """(noise p30 of |d2x|/sqrt(6) on 4 frames, luma p90-p10, flicker).
+
+    Jitted so the uint8->f32 conversions fuse into the reductions — no
+    full-video f32 copy is ever materialized. Flicker is the MEDIAN
+    |second difference of per-frame means| / mean: exposure flicker
+    OSCILLATES (large second differences every frame) while legitimate
+    global luma drift (a pan from bright to dark) is near-linear (second
+    differences ~0 however fast the fade) and a scene cut contributes
+    two outliers the median ignores — none false-engage the matcher.
+    """
+    v = jnp.asarray(video)
+    if v.ndim == 4 and v.shape[-1] == 3:
+        rgb_w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+        def luma_of(frames):
+            return frames.astype(jnp.float32) @ rgb_w
+    else:
+        def luma_of(frames):
+            return frames.astype(jnp.float32).reshape(frames.shape[:3])
+
+    idx = np.linspace(0, v.shape[0] - 1, min(4, v.shape[0])).astype(int)
+    sub = luma_of(v[jnp.asarray(idx)])  # only 4 frames hit f32
+    r = jnp.abs(sub[:, :, 2:] - 2 * sub[:, :, 1:-1] + sub[:, :, :-2])
+    r = r / np.sqrt(6.0)
+    noise_p30 = jnp.percentile(r, 30)
+    contrast = jnp.percentile(sub, 90) - jnp.percentile(sub, 10)
+    means = jnp.mean(luma_of(v), axis=(1, 2))  # fused reduce, no f32 copy
+    d2 = jnp.abs(means[2:] - 2.0 * means[1:-1] + means[:-2])
+    flicker = jnp.median(d2) / (jnp.mean(means) + 1e-6)
+    return noise_p30, contrast, flicker
+
+
 def estimate_degradation(video) -> dict:
     """Cheap photometric-degradation estimate -> dict with ``degraded``.
 
-    video: [T H W (3)] uint8/float, host or device array. Samples 4
-    frames; all reductions run on the video's device (only scalars are
+    video: [T H W (3)] uint8/float, host or device array. Noise/contrast
+    come from 4 sampled frames; flicker from per-frame means. All
+    reductions run jitted on the video's device (only scalars are
     fetched — tunnel-safe for device-resident video).
     """
-    v = jnp.asarray(video).astype(jnp.float32)
-    if v.ndim == 4 and v.shape[-1] == 3:
-        luma = v @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
-    else:
-        luma = v.reshape(v.shape[:3])
-    idx = np.linspace(0, luma.shape[0] - 1, min(4, luma.shape[0])).astype(int)
-    sub = luma[jnp.asarray(idx)]
-    r = jnp.abs(sub[:, :, 2:] - 2 * sub[:, :, 1:-1] + sub[:, :, :-2])
-    r = r / np.sqrt(6.0)
-    noise_sigma = float(jnp.percentile(r, 30)) / 0.37
-    contrast = float(
-        jnp.percentile(sub, 90) - jnp.percentile(sub, 10)
-    )
-    means = jnp.mean(luma, axis=(1, 2))
-    flicker = float(jnp.std(means) / (jnp.mean(means) + 1e-6))
+    noise_p30, contrast, flicker = _degradation_stats(video)
+    noise_sigma = float(noise_p30) / 0.37
+    contrast = float(contrast)
+    flicker = float(flicker)
     return {
         "noise_sigma": noise_sigma,
         "contrast": contrast,

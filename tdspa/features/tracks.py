@@ -269,8 +269,13 @@ class PyramidalLKTracker:
         # the original query positions for every chunk — identical to the
         # single-call path's template.
         template_frame = _to_gray(chunks[0][:1])[0]
-        # Auto-mode decision from the first chunk (device-side reductions,
-        # scalar fetch only) — one decision for the whole video.
+        # Auto-mode decision from the FIRST CHUNK only (device-side
+        # reductions, scalar fetch only) — one decision for the whole
+        # video. Caveat: with matcher='auto' and a video whose degradation
+        # starts after the first chunk, this path can decide differently
+        # from a single __call__ on the concatenated video (which
+        # estimates on the full video); the chunked==single-call identity
+        # below is exact for every other matcher setting.
         matcher_params = self._matcher_for(chunks[0])
         prev_last = None
         all_tracks, all_vis = [], []

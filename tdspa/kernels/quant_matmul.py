@@ -28,10 +28,11 @@ per-column weight), so the error bound is the same int8 mantissa rounding
 (< 2% relative on the full decode forward, tests/unit/test_quant.py).
 
 Scope: inference (forward-only). The reference has no quantization tier
-at all; this is TPU-native serving machinery. Not yet SPMD-wrapped: the
-``quantize`` knob is a single-chip serving option (the mesh path runs the
-bf16 kernels); add ``custom_partitioning`` over the leading axis (as in
-kernels/attention.py) if a sharded int8 path is ever needed.
+at all; this is TPU-native serving machinery. SPMD-capable: the kernel
+entry is ``custom_partitioning``-wrapped over x's leading (token) axis
+with the int8 weight replicated, so the ``quantize`` knob composes with
+the mesh decode path (tests/dist/test_sharding.py,
+test_pipeline_mesh.py::test_mesh_tail_serving_config).
 """
 
 from __future__ import annotations
@@ -72,20 +73,16 @@ def _pick_bm(m: int, k: int, n: int) -> int:
     x tile (bf16 in + f32 staged + s8) + resident wq/ws + f32 out block."""
     budget = 2_500_000  # f32-element units, ~10 MB of ~16 MB VMEM
     resident = (k * n) // 4 + n  # s8 weight + f32 scales
-    for bm in (1024, 512, 256, 128, 64, 32, 16):
-        per_row = k + k // 2 + k // 4 + n  # f32 x + bf16 in + s8 + f32 out
-        if resident + bm * per_row <= budget:
-            # Prefer a bm that divides m (no pad rows); otherwise the
-            # wrapper pads M up to the next multiple.
-            if m % bm == 0:
-                return bm
-            smaller = next(
-                (b for b in (512, 256, 128, 64, 32, 16, 8)
-                 if b <= bm and m % b == 0),
-                None,
-            )
-            return smaller if smaller is not None else bm
-    return 8
+    per_row = k + k // 2 + k // 4 + n  # f32 x + bf16 in + s8 + f32 out
+    fitting = [
+        bm for bm in (1024, 512, 256, 128, 64, 32, 16, 8)
+        if resident + bm * per_row <= budget
+    ]
+    if not fitting:
+        return 8
+    # Minimize padded work (ceil(m/bm)*bm); largest bm breaks ties so
+    # divisible shapes still get the widest tile.
+    return min(fitting, key=lambda bm: (-(-m // bm) * bm, -bm))
 
 
 def quant_matmul_fits(k: int, n: int) -> bool:
@@ -203,6 +200,22 @@ def quant_matmul(x, w, interpret: bool = False):
     """
     k = x.shape[-1]
     n = w.shape[-1]
+    if not quant_matmul_fits(k, n):
+        # The [K, N] weight would not fit VMEM-resident; this would fail
+        # only at REAL-CHIP compile time (interpret mode checks neither
+        # block shapes nor the VMEM stack). Fall back to the XLA int8
+        # path (same math, HBM-staged quantization).
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        xs = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+        amax_w = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+        ws = (jnp.maximum(amax_w, 1e-30) / 127.0).astype(jnp.float32)
+        wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * xs * ws
     # Per-column weight quantization in XLA (small, once per dispatch).
     amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
     ws = (jnp.maximum(amax, 1e-30) / 127.0).astype(jnp.float32)

@@ -250,3 +250,23 @@ def test_matcher_auto_mode(shipped):
     np.testing.assert_allclose(
         auto(clean)["tracks"], classic(clean)["tracks"], atol=1e-5
     )
+
+
+def test_estimate_degradation_not_fooled_by_drift_or_cut():
+    """Legitimate global luma changes must not read as exposure flicker:
+    a fast linear fade (60% in one second) and a hard scene cut both keep
+    flicker ~0 (second differences of frame means; the cut's two outliers
+    fall to the median)."""
+    from tdspa.features.matcher import estimate_degradation
+
+    video, _, _ = make_tracking_scene(seed=0)
+    ramp = np.linspace(1.5, 0.6, video.shape[0])[:, None, None, None]
+    drift = np.clip(video.astype(np.float32) * ramp, 0, 255).astype(np.uint8)
+    assert not estimate_degradation(drift)["degraded"]
+
+    cut = video.copy()
+    cut[12:] = make_tracking_scene(seed=9)[0][12:]
+    assert not estimate_degradation(cut)["degraded"]
+
+    flick, _, _ = make_tracking_scene(seed=0, gain_flicker=0.15)
+    assert estimate_degradation(flick)["degraded"]
