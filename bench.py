@@ -160,7 +160,9 @@ def measure_e2e():
             num_query_points=512,
             num_support_tracks=2048,
             tracking_grid_size=64,
-            track_provider=PyramidalLKTracker(grid_size=64, fb_threshold=-1.0),
+            track_provider=PyramidalLKTracker(
+                grid_size=64, fb_threshold=-1.0, iterations=3,
+            ),
             depth_provider=VideoDepthEstimator(
                 encoder="vitb",
                 residual_dtype=resid or jnp.float32,
