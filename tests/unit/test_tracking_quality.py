@@ -183,3 +183,22 @@ def test_rotation_scene_ground_truth_is_exact_affine():
     R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
     expect = c + (tr[:, 0] - c) @ R.T
     assert np.abs(tr[:, -1] - expect).max() < 1e-3
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [dict(zoom_rate=0.02), dict(rot_rate=0.0174533)],  # 2%/frame; 1 deg/frame
+    ids=["zoom", "roll"],
+)
+def test_classical_lk_robust_to_slow_affine_motion(kw):
+    """Measured round 3 (docs/BENCHMARKS.md): chain-tracked incremental LK
+    absorbs slow zoom/roll without any learned machinery. Locks that
+    robustness: a regression here means the velocity prior / chaining
+    broke, not that a matcher is needed."""
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=0, noise_sigma=10.0, contrast=0.7, **kw
+    )
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu")
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    assert q["pts_within_2"] > 0.8, q
+    assert q["visibility_accuracy"] > 0.8, q
