@@ -263,10 +263,14 @@ class InferencePipeline:
             # the tracking-quality benchmark), and 3 LK iterations — with
             # the velocity-prior warm start, quality at 3 equals 4 on every
             # benchmark regime (static/pan/degraded; degraded even improves
-            # slightly) while cutting per-iteration kernel work.
+            # slightly) while cutting per-iteration kernel work. The
+            # learned matcher auto-engages ONLY on photometrically degraded
+            # content, where it wins big (pts2 0.71-0.74 -> 0.92-0.96) and
+            # classical LK+NCC collapses; clean/affine content stays on the
+            # classical path (tdspa/features/matcher.py thresholds).
             self._track_provider = PyramidalLKTracker(
                 grid_size=self.tracking_grid_size, fb_threshold=-1.0,
-                iterations=3,
+                iterations=3, matcher="auto",
             )
         return self._track_provider
 
