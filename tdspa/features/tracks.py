@@ -143,12 +143,13 @@ class PyramidalLKTracker:
             self._auto_matcher_params = load_matcher("default")
         return self._auto_matcher_params
 
-    def _apply_matcher(self, video, tracks, visible, params,
+    def _apply_matcher(self, video, tracks, params,
                        template_frame=None, template_pos=None,
-                       refine_first=False):
-        """Learned-matcher post-pass: refined positions + learned visibility
-        (the matcher's appearance model replaces the NCC one — see
-        tdspa/features/matcher.py)."""
+                       refine_first=False, backend="auto"):
+        """Learned-matcher post-pass: refined positions + learned visibility.
+        The matcher's appearance model REPLACES the LK FB/NCC visibility
+        (its learned classifier is strictly better on the regimes where it
+        engages — see tdspa/features/matcher.py)."""
         import jax.numpy as jnp
 
         from tdspa.features.matcher import refine_tracks
@@ -156,6 +157,7 @@ class PyramidalLKTracker:
         pos, vis_logit = refine_tracks(
             params, video, tracks, template_frame=template_frame,
             template_pos=template_pos, refine_first=refine_first,
+            backend=backend,
         )
         vis = (vis_logit > self.matcher_vis_threshold).astype(jnp.float32)[
             ..., jnp.newaxis
@@ -209,9 +211,7 @@ class PyramidalLKTracker:
             tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
             m = self._matcher_for(video)
             if m is not None:
-                tracks, visible = self._apply_matcher(
-                    video, tracks, visible, m
-                )
+                tracks, visible = self._apply_matcher(video, tracks, m)
             return {"tracks": tracks, "visible": visible}
         from tdspa.ops.lk import track_video_lk
 
@@ -226,8 +226,12 @@ class PyramidalLKTracker:
             )
             m = self._matcher_for(video)
             if m is not None:
+                # This branch runs under jax.default_device(cpu) on TPU
+                # hosts (small frames / wide windows): force the XLA cost
+                # path — refine_tracks' 'auto' keys off the default BACKEND
+                # and would dispatch a Mosaic kernel onto the CPU device.
                 tracks, visible = self._apply_matcher(
-                    video, tracks, visible, m
+                    video, tracks, m, backend="xla"
                 )
         return {
             "tracks": np.asarray(tracks, np.float32),
@@ -301,7 +305,7 @@ class PyramidalLKTracker:
                 # pass: the matcher is stateless across frames given the
                 # (persistent) frame-0 template.
                 tr, vi = self._apply_matcher(
-                    c, tr, vi, matcher_params, template_frame=chunks[0][0],
+                    c, tr, matcher_params, template_frame=chunks[0][0],
                     template_pos=queries,
                     refine_first=prev_last is not None,
                 )

@@ -116,15 +116,37 @@ def _load_strips(img_ref, col, row, span: int, height: int, width: int,
     lane offsets cannot be dynamically sliced (dynamic roll), and
     ``narrow`` slices each strip to its first 128 lanes after alignment.
     """
+    # A 16-row strip only guarantees 16 - 7 = 9 valid rows after the
+    # 8-alignment roll (offset rj - row_base <= 7): for span > 9 the
+    # cyclic roll would WRAP rows from above the block into its bottom
+    # (silently corrupting e.g. the corr-refine cost volume at span 14).
+    # Stage 24 rows and statically slice the aligned first 16 instead —
+    # same pattern as kernels/matcher.py, valid for span <= 16.
+    deep = span > 9
+    if deep and height < 24:
+        raise ValueError(
+            f"span {span} > 9 needs 24-row strip staging but height is "
+            f"only {height}"
+        )
     strips, cols, rows = [], [], []
     for j in range(8):
         cj = jnp.clip(col[j, 0], 0, width - span)
         rj = jnp.clip(row[j, 0], 0, height - span)
-        row_base = pl.multiple_of(jnp.clip((rj // 8) * 8, 0, height - 16), 8)
-        strip = img_ref[pl.ds(row_base, 16), :]  # [16, W]
-        # pltpu.roll requires non-negative shifts: left-roll by k == right-
-        # roll by (size - k).
-        strip = pltpu.roll(strip, (16 - (rj - row_base)) % 16, axis=0)
+        if deep:
+            row_base = pl.multiple_of(
+                jnp.clip((rj // 8) * 8, 0, height - 24), 8
+            )
+            strip = img_ref[pl.ds(row_base, 24), :]  # [24, W]
+            strip = pltpu.roll(strip, (24 - (rj - row_base)) % 24, axis=0)
+            strip = strip[:16]
+        else:
+            row_base = pl.multiple_of(
+                jnp.clip((rj // 8) * 8, 0, height - 16), 8
+            )
+            strip = img_ref[pl.ds(row_base, 16), :]  # [16, W]
+            # pltpu.roll requires non-negative shifts: left-roll by k ==
+            # right-roll by (size - k).
+            strip = pltpu.roll(strip, (16 - (rj - row_base)) % 16, axis=0)
         strip = pltpu.roll(strip, (width - cj) % width, axis=1)
         if narrow:
             strip = strip[:, :128]
@@ -261,12 +283,12 @@ def _corr_refine_group(tmpl_ref, i1_ref, tq, est, window: int, radius: int,
     template window against every integer offset in a (2*radius+1)^2 grid
     around round(est) — the whole cost volume materializes on the stacked
     strips via static-shift accumulation (VPU tiles, zero gathers) — and
-    returns (snapped [8, 2], peak_ncc [8, 1], center_ncc [8, 1]). The NCC
-    is center-weighted (oracle ``ops/lk._weighted_ncc`` with
-    ``_gauss_weights``): the Gaussian is separable, so the weighted window
-    sums keep the same static-roll structure with scalar per-shift weights.
-    Callers gate acceptance on the peak vs both an absolute threshold and
-    the estimate's own score (``center_ncc``, the zero-offset candidate).
+    returns (snapped [8, 2], peak_ncc [8, 1]). The NCC is center-weighted
+    (oracle ``ops/lk._weighted_ncc`` with ``_gauss_weights``): the Gaussian
+    is separable, so the weighted window sums keep the same static-roll
+    structure with scalar per-shift weights. Callers re-score acceptance
+    via the fine template NCC at the fractional candidates
+    (``template_score``), not the returns.
     """
     k = 2 * radius + 1
     r = (window - 1) // 2
@@ -349,20 +371,9 @@ def _corr_refine_group(tmpl_ref, i1_ref, tq, est, window: int, radius: int,
     ox = _strip_sums(eq * cols_iota.astype(jnp.float32), select) / count
     oy = _strip_sums(eq * rows_iota.astype(jnp.float32), select) / count
 
-    # Zero-offset candidate (the LK estimate's own score). The candidate
-    # grid anchors at the CLAMPED base, so the center offset is the
-    # estimate's position relative to it (static only when unclamped).
-    ccol = jnp.clip(ex.astype(jnp.float32) - r - col, 0, k - 1)
-    crow = jnp.clip(ey.astype(jnp.float32) - r - row, 0, k - 1)
-    m_center = (
-        (cols_iota.astype(jnp.float32) == _expand8(ccol, expand))
-        & (rows_iota.astype(jnp.float32) == _expand8(crow, expand))
-    ).astype(jnp.float32)
-    center = _strip_sums(ncc * m_center, select)  # [8, 1]
-
     # Tile position (oy, ox) = image position (row + oy + r, col + ox + r).
     snapped = jnp.concatenate([col + ox + r, row + oy + r], axis=1)  # [8, 2]
-    return snapped, peak, center
+    return snapped, peak
 
 
 def _gn_polish_group(i0_ref, i1_ref, grp, start, window: int,
@@ -500,7 +511,7 @@ def _lk_pair_kernel(
             def template_score(pxy):
                 return ncc_of(tm, centered(samp1(pxy[:, 0:1], pxy[:, 1:2])))
 
-            snapped, _, _ = _corr_refine_group(
+            snapped, _ = _corr_refine_group(
                 tmpl_ref, i1_refs[0], tq, fwd, window, corr_radius,
                 height, width, narrow,
             )
@@ -514,7 +525,7 @@ def _lk_pair_kernel(
                 lvl = rescue_level
                 scale = 2.0 ** lvl
                 h_c, w_c = shapes[lvl]
-                snap_c, _, _ = _corr_refine_group(
+                snap_c, _ = _corr_refine_group(
                     tmpl_rescue_ref, i1_refs[lvl], tq / scale, fwd / scale,
                     window, corr_radius, h_c, w_c, narrow,
                 )
@@ -659,10 +670,13 @@ def track_video_lk_pallas(
     if window > 7:
         raise ValueError("track_video_lk_pallas supports window <= 7 "
                          "(samples live in an 8-row register tile)")
-    if corr_radius > 0 and 2 * corr_radius + window - 1 > 15:
+    if corr_radius > 0 and 2 * corr_radius + window - 1 > 16:
+        # span <= 16: the 24-row strip staging in _load_strips keeps 16
+        # aligned rows valid after the up-to-7-row alignment roll.
         raise ValueError(
             "corr_radius too large: the candidate-window union "
-            f"(2*{corr_radius} + {window} - 1) must fit a 16-row strip"
+            f"(2*{corr_radius} + {window} - 1) must fit 16 aligned strip "
+            "rows"
         )
     gray = _to_gray(jnp.asarray(video))
     num_frames, height, width = gray.shape

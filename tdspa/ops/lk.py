@@ -152,14 +152,14 @@ def _corr_refine(template_raw, i1, pts1, window: int, radius: int):
     ``_gauss_weights`` as the visibility checks) keeps the matched POINT in
     charge of the score, not the window edges.
 
-    Returns (snapped_pts [N 2], peak_ncc [N], center_ncc [N]) where
-    ``center_ncc`` is the score at the zero-offset candidate (the current
-    estimate). Matching the ORIGINAL appearance makes this a drift-free
-    re-localizer: callers accept the snap only when the peak is strong AND
-    materially better than the current estimate's own score — a weak peak
-    means the original appearance is absent (occlusion/appearance change),
-    and a peak no better than the estimate means LK already converged
-    (snapping would only add integer-grid bias).
+    Returns (snapped_pts [N 2], peak_ncc [N]). Matching the ORIGINAL
+    appearance makes this a drift-free re-localizer: callers accept the
+    snap only when the peak is strong AND materially better than the
+    current estimate's own score (re-scored via the same template NCC at
+    the fractional estimate — ``template_score`` at the call sites) — a
+    weak peak means the original appearance is absent (occlusion /
+    appearance change), and a peak no better than the estimate means LK
+    already converged (snapping would only add integer-grid bias).
     """
     d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     dx, dy = jnp.meshgrid(d, d)
@@ -180,7 +180,7 @@ def _corr_refine(template_raw, i1, pts1, window: int, radius: int):
     snapped = jnp.take_along_axis(
         centers, best[:, None, None], axis=1
     )[:, 0]
-    return snapped, peak, ncc[:, ncc.shape[1] // 2]
+    return snapped, peak
 
 
 def _track_pair(pyr0, pyr1, pts, window: int, iterations: int,
@@ -226,7 +226,7 @@ def build_pyramid(gray, num_levels: int):
     ),
 )
 def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
-               ncc_threshold, template_ncc_threshold, corr_radius=4,
+               ncc_threshold, template_ncc_threshold, corr_radius=0,
                corr_iterations=2, corr_accept=0.85, corr_rescue_level=0):
     t, h, w = gray.shape
     pyramids = build_pyramid(gray, num_levels)  # list of [T h w]
@@ -274,7 +274,7 @@ def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
                 patch = _bilinear(p1[0], p[:, None, :] + offs[None])
                 return _weighted_ncc(template_raw, patch, gauss_w)
 
-            snapped, _, _ = _corr_refine(
+            snapped, _ = _corr_refine(
                 template_raw, p1[0], new_pts, window, corr_radius
             )
             disp, _ = _lk_level(
@@ -282,7 +282,7 @@ def _track_all(gray, queries, num_levels, window, iterations, fb_threshold,
             )
             candidates = [pts + disp]
             if rescue_lvl > 0:
-                snap_c, _, _ = _corr_refine(
+                snap_c, _ = _corr_refine(
                     template_raw_c, p1[rescue_lvl], new_pts / rescue_scale,
                     window, corr_radius,
                 )

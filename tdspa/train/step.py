@@ -153,11 +153,15 @@ def make_grad_accum_step(
                 state.params, mb
             )
             # Visible-mass weight: microbatch losses normalize by their own
-            # mask sum, so den-weighted accumulation reproduces the global
-            # normalization exactly.
-            den = jnp.maximum(
-                jnp.sum(mb["query_tracks_visible"].astype(jnp.float32)), 1.0
-            )
+            # CLAMPED mask sum (losses.py: max(mass, 1)), so multiplying by
+            # that same clamped value restores the raw numerator exactly —
+            # including the all-occluded case, where the unmasked BCE term
+            # is nonzero at mass 0. The accumulated DENOMINATOR must be the
+            # TRUE mass though (clamping it per-microbatch would dilute the
+            # global normalization by +1 per empty microbatch vs the
+            # full-batch step's max(global_mass, 1)).
+            mass = jnp.sum(mb["query_tracks_visible"].astype(jnp.float32))
+            den = jnp.maximum(mass, 1.0)
             grads_acc = jax.tree.map(
                 lambda a, g: a + den * g, grads_acc, grads
             )
@@ -166,7 +170,7 @@ def make_grad_accum_step(
                 loss_acc + den * loss,
                 pos_acc + den * ld["position_loss"],
                 vis_acc + den * ld["visible_loss"],
-                den_acc + den,
+                den_acc + mass,
             ), None
 
         stacked = {
@@ -188,6 +192,7 @@ def make_grad_accum_step(
         (grads, loss, pos, vis, den_total), _ = jax.lax.scan(
             micro, (zeros, 0.0, 0.0, 0.0, 0.0), stacked
         )
+        den_total = jnp.maximum(den_total, 1.0)  # matches losses.py's clamp
         grads = jax.tree.map(lambda g: g / den_total, grads)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -216,3 +216,33 @@ def test_chunked_tracking_matches_unchunked():
     np.testing.assert_array_equal(
         np.asarray(got["visible"]), np.asarray(ref_vis)
     )
+
+
+def test_pallas_corr_refine_no_strip_wrap():
+    """Regression: the corr-refine union patch (span 14 at radius 4 /
+    window 7) exceeds the 9 rows a 16-row strip guarantees after the
+    8-alignment roll; queries at row phase rj % 8 >= 3 used to read
+    cyclically-wrapped rows and lose the track (~12 px error vs the
+    oracle). The 24-row staging (kernels/lk.py _load_strips) must match
+    the XLA oracle exactly at EVERY row phase."""
+    import jax.numpy as jnp
+
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    rng = np.random.default_rng(0)
+    big = rng.integers(0, 255, (200, 160, 3)).astype(np.uint8)
+    t_frames = 8
+    video = np.stack(
+        [big[30 - 3 * t : 30 - 3 * t + 160] for t in range(t_frames)]
+    )
+    ys = np.arange(24, 40).astype(np.float32)  # covers all 8 row phases x2
+    queries = np.stack([np.full_like(ys, 80.0), ys], axis=1)
+
+    kw = dict(num_levels=1, window=7, iterations=1, corr_radius=4)
+    tr_k, _ = track_video_lk_pallas(
+        jnp.asarray(video), jnp.asarray(queries), interpret=True, **kw
+    )
+    tr_o, _ = track_video_lk(video, queries, **kw)
+    np.testing.assert_allclose(
+        np.asarray(tr_k), np.asarray(tr_o), atol=1e-3
+    )

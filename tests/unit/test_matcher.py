@@ -154,7 +154,7 @@ def test_chunked_matcher_matches_unchunked(shipped, monkeypatch):
         interpret=True,
     )
     ref_tracks, ref_vis = tracker._apply_matcher(
-        jnp.asarray(video), lk_tracks, lk_vis, shipped
+        jnp.asarray(video), lk_tracks, shipped
     )
     chunks = [jnp.asarray(video[0:4]), jnp.asarray(video[4:8]),
               jnp.asarray(video[8:10])]

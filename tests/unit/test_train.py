@@ -202,3 +202,38 @@ def test_train_step_decreases_loss_bf16_compute():
         losses.append(float(metrics["train/loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_grad_accum_matches_full_batch_with_empty_microbatch():
+    """An all-occluded microbatch must not break full-batch equivalence:
+    its unmasked-BCE numerator still counts, but the global normalization
+    is max(global_mass, 1) — NOT global_mass + 1 per empty microbatch
+    (the bug: per-microbatch clamped denominators accumulated)."""
+    from tdspa.train import make_grad_accum_step
+
+    rng = jax.random.PRNGKey(3)
+    batch = synthetic_batch(rng, batch=4, num_frames=T, num_coords=3)
+    # Zero out the SECOND microbatch's visible mass (examples 2-3).
+    vis = np.asarray(batch["query_tracks_visible"]).copy()
+    vis[2:] = 0.0
+    batch = dict(batch, query_tracks_visible=jnp.asarray(vis))
+    state, model, tx, sched = create_model_state(
+        rng, batch, model_type="3dspa", learning_rate=1e-3, warmup_steps=1,
+        total_steps=100, num_output_frames=T, use_dino=False, use_depth=False,
+        **TINY_3D,
+    )
+    full = make_train_step(model, tx, sched, donate=False)
+    accum = make_grad_accum_step(
+        model, tx, sched, num_microbatches=2, donate=False
+    )
+    s_full, m_full = full(state, batch)
+    s_acc, m_acc = accum(state, batch)
+    np.testing.assert_allclose(
+        float(m_acc["train/loss"]), float(m_full["train/loss"]), rtol=1e-4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        s_acc.params, s_full.params,
+    )
