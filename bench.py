@@ -32,15 +32,22 @@ reference-numerics); set explicitly to force either everywhere.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 # Zero-egress environment: skip huggingface-hub's ~2 min of connection
 # retries during the e2e warmup (weights resolve from local cache or fall
 # back to random init either way).
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
+# Big programs (streamed pipeline, scan-chunked decoder) take 20-35 min to
+# compile through the tunnel on a cold cache; persist compilations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdspa_jax_cache")
 
-import jax
-import jax.numpy as jnp
+if os.environ.get("BENCH_MODE", "") in ("decode", "e2e"):
+    # Measurement child / direct invocation: touch the backend here.
+    import jax
+    import jax.numpy as jnp
 
 
 def measure_decode():
@@ -231,6 +238,90 @@ def measure_e2e():
     }
 
 
+def _run_child(mode, timeout_s, force_cpu=False):
+    """Run one measurement in a child interpreter; parse its JSON line.
+
+    Returns (dict | None, elapsed_s). The parent process NEVER touches the
+    JAX backend: on this rig backend init can hang indefinitely when the
+    TPU tunnel relay is down (round-3 postmortem — BENCH_r03 recorded
+    nothing because one in-process backend failure zeroed the whole round).
+    """
+    env = dict(os.environ)
+    env["BENCH_MODE"] = mode
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if force_cpu:
+        # Empty pool-IP list skips the axon TPU-tunnel platform registration
+        # (sitecustomize hook); jax_platforms=cpu before first backend touch.
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        cmd = [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import runpy; runpy.run_path(%r, run_name='__main__')"
+            % os.path.abspath(__file__),
+        ]
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            cmd, env=env, text=True, capture_output=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return None, time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    sys.stderr.write(proc.stderr[-4000:])
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line), elapsed
+            except json.JSONDecodeError:
+                continue
+    return None, elapsed
+
+
+def _orchestrate():
+    """Driver default mode: decode micro-bench first (the guaranteed
+    number), then the full e2e; one JSON line out, never zero.
+
+    Ladder: TPU decode (retry once if the tunnel flakes fast) -> TPU e2e ->
+    merge. Any rung failing degrades the report instead of erasing it; the
+    terminal fallback is a CPU-platform decode tagged "platform": "cpu" so
+    a dead tunnel still yields a parsed, honestly-labelled record.
+    """
+    t_decode = int(os.environ.get("BENCH_DECODE_TIMEOUT", 1500))
+    t_e2e = int(os.environ.get("BENCH_E2E_TIMEOUT", 2700))
+    t_retry = int(os.environ.get("BENCH_RETRY_SLEEP", 120))
+    decode, el = _run_child("decode", timeout_s=t_decode)
+    if decode is None and el < min(300, t_decode):
+        # Fast failure = backend init raised (tunnel UNAVAILABLE). Bounded
+        # retry: outages are often transient relay restarts.
+        time.sleep(t_retry)
+        decode, _ = _run_child("decode", timeout_s=t_decode)
+    if decode is None:
+        report, _ = _run_child("decode", timeout_s=900, force_cpu=True)
+        if report is None:  # even CPU failed: emit a parseable record
+            report = {
+                "metric": "query_track_decodes_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "decodes/s",
+                "vs_baseline": 0.0,
+                "error": "TPU backend unavailable and CPU fallback failed",
+            }
+        else:
+            report["platform"] = "cpu-fallback"
+            report["error"] = "TPU backend unavailable; decode measured on CPU"
+        print(json.dumps(report))
+        return
+    # The rounds-1/2 decode rate rides along for comparability; the
+    # north-star e2e metric is the headline when it completes.
+    report, _ = _run_child("e2e", timeout_s=2700)
+    if report is None:
+        decode["note"] = "e2e stage failed/timed out; decode-only record"
+        print(json.dumps(decode))
+        return
+    report["decodes_per_sec_per_chip"] = decode["value"]
+    print(json.dumps(report))
+
+
 if __name__ == "__main__":
     mode = os.environ.get("BENCH_MODE", "")
     if mode == "e2e":
@@ -238,9 +329,4 @@ if __name__ == "__main__":
     elif mode == "decode":
         print(json.dumps(measure_decode()))
     else:
-        # Driver default: the north-star e2e metric is the headline; the
-        # rounds-1/2 decode rate rides along for comparability.
-        decode = measure_decode()
-        report = measure_e2e()
-        report["decodes_per_sec_per_chip"] = decode["value"]
-        print(json.dumps(report))
+        _orchestrate()

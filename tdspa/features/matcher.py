@@ -483,8 +483,14 @@ def _degradation_stats(video):
     noise_p30 = jnp.percentile(r, 30)
     contrast = jnp.percentile(sub, 90) - jnp.percentile(sub, 10)
     means = jnp.mean(luma_of(v), axis=(1, 2))  # fused reduce, no f32 copy
-    d2 = jnp.abs(means[2:] - 2.0 * means[1:-1] + means[:-2])
-    flicker = jnp.median(d2) / (jnp.mean(means) + 1e-6)
+    if v.shape[0] < 3:
+        # Fewer than 3 frames: no second difference exists. A median over
+        # the empty array would be NaN, and NaN comparisons silently read
+        # as "not degraded" downstream — make the decision defined instead.
+        flicker = jnp.zeros((), jnp.float32)
+    else:
+        d2 = jnp.abs(means[2:] - 2.0 * means[1:-1] + means[:-2])
+        flicker = jnp.median(d2) / (jnp.mean(means) + 1e-6)
     return noise_p30, contrast, flicker
 
 

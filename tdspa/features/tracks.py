@@ -117,7 +117,10 @@ class PyramidalLKTracker:
         # 'auto': per-video decision — engage the shipped matcher only on
         # photometrically degraded content (it wins big there and mildly
         # loses on clean/affine-motion content; thresholds + calibration in
-        # tdspa/features/matcher.py::estimate_degradation).
+        # tdspa/features/matcher.py::estimate_degradation). Chunked tracking
+        # (track_chunks) decides from per-chunk stats after ALL chunks —
+        # engaging if ANY chunk looks degraded — so mid-stream degradation
+        # also triggers; __call__ estimates on the full video in one shot.
         self.matcher = matcher
         self._auto_matcher_params = None
         # Decision threshold on the matcher's visibility logit. 0.0 is the
@@ -149,7 +152,11 @@ class PyramidalLKTracker:
         """Learned-matcher post-pass: refined positions + learned visibility.
         The matcher's appearance model REPLACES the LK FB/NCC visibility
         (its learned classifier is strictly better on the regimes where it
-        engages — see tdspa/features/matcher.py)."""
+        engages — see tdspa/features/matcher.py). Geometry stays exact: the
+        learned logit is ANDed with an in-bounds test on the refined
+        positions, because cost patches clamp at feature-map borders and the
+        appearance head can otherwise re-mark a point that exited the frame
+        as visible (same bound as the LK tracker, tdspa/ops/lk.py)."""
         import jax.numpy as jnp
 
         from tdspa.features.matcher import refine_tracks
@@ -159,9 +166,16 @@ class PyramidalLKTracker:
             template_pos=template_pos, refine_first=refine_first,
             backend=backend,
         )
-        vis = (vis_logit > self.matcher_vis_threshold).astype(jnp.float32)[
-            ..., jnp.newaxis
-        ]
+        h, w = video.shape[1], video.shape[2]
+        in_bounds = (
+            (pos[..., 0] >= 0)
+            & (pos[..., 0] <= w - 1)
+            & (pos[..., 1] >= 0)
+            & (pos[..., 1] <= h - 1)
+        )
+        vis = (
+            (vis_logit > self.matcher_vis_threshold) & in_bounds
+        ).astype(jnp.float32)[..., jnp.newaxis]
         return pos, vis
 
     def backend_for(self, video_shape) -> str:
@@ -273,14 +287,18 @@ class PyramidalLKTracker:
         # the original query positions for every chunk — identical to the
         # single-call path's template.
         template_frame = _to_gray(chunks[0][:1])[0]
-        # Auto-mode decision from the FIRST CHUNK only (device-side
-        # reductions, scalar fetch only) — one decision for the whole
-        # video. Caveat: with matcher='auto' and a video whose degradation
-        # starts after the first chunk, this path can decide differently
-        # from a single __call__ on the concatenated video (which
-        # estimates on the full video); the chunked==single-call identity
-        # below is exact for every other matcher setting.
-        matcher_params = self._matcher_for(chunks[0])
+        # Auto mode: accumulate cheap per-chunk degradation stats (device
+        # scalars, NO host fetch inside the loop — a fetch would serialize
+        # the upload/compute overlap this method exists for) and decide
+        # AFTER all chunks; the matcher post-pass then runs over the stored
+        # chunks. Engages if ANY chunk looks degraded — strictly more
+        # sensitive than the single-call path's full-video estimate (a
+        # mid-stream degraded segment triggers here), which is the safe
+        # direction; every non-'auto' matcher setting keeps the exact
+        # chunked==single-call identity.
+        auto_mode = isinstance(self.matcher, str)
+        matcher_params = None if auto_mode else self._matcher_for(chunks[0])
+        chunk_stats = []
         prev_last = None
         all_tracks, all_vis = [], []
         for c in chunks:
@@ -309,14 +327,46 @@ class PyramidalLKTracker:
                     template_pos=queries,
                     refine_first=prev_last is not None,
                 )
+            elif auto_mode:
+                from tdspa.features.matcher import _degradation_stats
+
+                chunk_stats.append(_degradation_stats(c))  # device scalars
             all_tracks.append(tr)
             all_vis.append(vi)
             pos = lk_last
             prev_last = c[-1]
+        if chunk_stats and self._auto_engage(chunk_stats):
+            from tdspa.features.matcher import load_matcher
+
+            if self._auto_matcher_params is None:
+                self._auto_matcher_params = load_matcher("default")
+            for i, c in enumerate(chunks):
+                all_tracks[i], all_vis[i] = self._apply_matcher(
+                    c, all_tracks[i], self._auto_matcher_params,
+                    template_frame=chunks[0][0], template_pos=queries,
+                    refine_first=i > 0,
+                )
         return {
             "tracks": jnp.concatenate(all_tracks, axis=1),
             "visible": jnp.concatenate(all_vis, axis=1),
         }
+
+    @staticmethod
+    def _auto_engage(chunk_stats) -> bool:
+        """Engage if ANY chunk's stats cross the auto thresholds (one host
+        fetch, after all chunks are queued)."""
+        from tdspa.features.matcher import (
+            AUTO_FLICKER, AUTO_MIN_CONTRAST, AUTO_NOISE_SIGMA,
+        )
+
+        for noise_p30, contrast, flicker in chunk_stats:
+            if (
+                float(noise_p30) / 0.37 >= AUTO_NOISE_SIGMA
+                or float(contrast) < AUTO_MIN_CONTRAST
+                or float(flicker) > AUTO_FLICKER
+            ):
+                return True
+        return False
 
 
 class CoTrackerProvider:

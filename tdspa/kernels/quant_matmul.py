@@ -11,7 +11,9 @@ quantization"). This kernel removes exactly that overhead:
   scales) — an O(K*N) pass over a few MB, negligible next to the
   O(M*K*N) matmul and done once per dispatch;
 * activations are quantized INSIDE the kernel: each [bm, K] tile is read
-  from HBM once (bf16), per-row amax/round/clip happen in VMEM, and the
+  from HBM once in the CALLER's dtype (bf16 on the serving path; f32
+  inputs are not down-cast, so both dispatch paths quantize from
+  identical values), per-row amax/round/clip happen in VMEM, and the
   int8 tile feeds the MXU directly — zero extra HBM traffic;
 * the s8 x s8 -> s32 MXU dot runs at 2x the bf16 rate on v5e;
 * dequantization (exact for the per-row x per-column outer-product scale
@@ -70,10 +72,11 @@ def _quant_matmul_kernel(x_ref, wq_ref, ws_ref, out_ref):
 
 def _pick_bm(m: int, k: int, n: int) -> int:
     """Largest M tile (multiple of 8, <= 1024) fitting the VMEM budget:
-    x tile (bf16 in + f32 staged + s8) + resident wq/ws + f32 out block."""
+    x tile (in + f32 staged + s8) + resident wq/ws + f32 out block."""
     budget = 2_500_000  # f32-element units, ~10 MB of ~16 MB VMEM
     resident = (k * n) // 4 + n  # s8 weight + f32 scales
-    per_row = k + k // 2 + k // 4 + n  # f32 x + bf16 in + s8 + f32 out
+    # Input tile counted at f32 width (worst case — native-dtype staging).
+    per_row = k + k + k // 4 + n  # f32 x + input + s8 + f32 out
     fitting = [
         bm for bm in (1024, 512, 256, 128, 64, 32, 16, 8)
         if resident + bm * per_row <= budget
@@ -88,7 +91,7 @@ def _pick_bm(m: int, k: int, n: int) -> int:
 def quant_matmul_fits(k: int, n: int) -> bool:
     """True when the [K, N] weight (s8) + scales fit the resident budget
     with at least a bm=8 activation tile."""
-    return (k * n) // 4 + n + 8 * (2 * k + n) <= 2_500_000
+    return (k * n) // 4 + n + 8 * (9 * k // 4 + n) <= 2_500_000
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -114,7 +117,10 @@ def _quant_matmul_pallas(x2d, wq, ws, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
         interpret=interpret,
-    )(x2d.astype(jnp.bfloat16), wq, ws)
+        # Native-dtype staging: quantization sees the caller's exact values
+        # on BOTH dispatch paths (an unconditional bf16 cast here would make
+        # f32 inputs round differently from the XLA fallback below).
+    )(x2d, wq, ws)
     return out[:m] if pad else out
 
 

@@ -173,6 +173,12 @@ def make_grad_accum_step(
                 den_acc + mass,
             ), None
 
+        b = next(iter(batch.values())).shape[0]
+        if b % m != 0 or b < m:
+            raise ValueError(
+                f"batch size {b} must be a positive multiple of "
+                f"num_microbatches={m} for gradient accumulation"
+            )
         stacked = {
             k: v.reshape((m, v.shape[0] // m) + v.shape[1:])
             for k, v in batch.items()

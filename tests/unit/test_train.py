@@ -183,6 +183,28 @@ def test_grad_accum_step_matches_full_batch_step():
     assert losses[-1] < losses[0]
 
 
+def test_grad_accum_rejects_indivisible_batch():
+    """Batch size not a positive multiple of num_microbatches must fail
+    with a clear ValueError, not an opaque reshape mismatch (round-3
+    advisor finding)."""
+    import pytest
+
+    from tdspa.train import make_grad_accum_step
+
+    rng = jax.random.PRNGKey(3)
+    batch = synthetic_batch(rng, batch=3, num_frames=T, num_coords=3)
+    state, model, tx, sched = create_model_state(
+        rng, batch, model_type="3dspa", learning_rate=1e-3, warmup_steps=1,
+        total_steps=100, num_output_frames=T, use_dino=False, use_depth=False,
+        **TINY_3D,
+    )
+    accum = make_grad_accum_step(
+        model, tx, sched, num_microbatches=2, donate=False
+    )
+    with pytest.raises(ValueError, match="multiple of num_microbatches"):
+        accum(state, batch)
+
+
 def test_train_step_decreases_loss_bf16_compute():
     """--bf16 training recipe: bf16 matmuls, f32 params/opt-state/losses.
     The step must still descend and keep f32 parameters."""
