@@ -1,0 +1,97 @@
+"""Matcher-vs-classical tracking benchmark over the synthetic scene family.
+
+Measures the learned matcher (any weights) against the classical LK+NCC
+tracker on every regime the docs cite: degraded (noise/contrast/flicker),
+non-rigid deformation, rotation, zoom, clean, pan — exact ground truth
+from tdspa.utils.synthetic_video. This is the qualification gate for
+shipping new matcher weights (docs/BENCHMARKS.md "Learned matcher",
+"Non-rigid content", "Camera zoom/roll").
+
+Usage:
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  python examples/matcher_benchmark.py [matcher.npz] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEGRADE = dict(noise_sigma=15.0, contrast=0.5, gain_flicker=0.15)
+
+REGIMES = {
+    # name: (scene kwargs, seeds)
+    "degraded": (DEGRADE, (100, 101, 102)),
+    "deform": (dict(deform_amp=5.0, **DEGRADE), (200, 201)),
+    "deform_clean": (dict(deform_amp=5.0), (200, 201)),
+    "rot_mild": (dict(rot_rate=float(np.deg2rad(1.0)), noise_sigma=10.0,
+                      contrast=0.7), (300, 301)),
+    "rot_strong": (dict(rot_rate=float(np.deg2rad(2.5)), **DEGRADE),
+                   (310, 311)),
+    "zoom": (dict(zoom_rate=0.004, noise_sigma=10.0), (320, 321)),
+    "clean": ({}, (3, 4)),
+    "pan": (dict(pan=(8, 0)), (330,)),
+    # HELD-OUT regimes (never used to train the matcher or tune the
+    # auto-gate thresholds — gate-generalization evidence, VERDICT-r3 #6):
+    "jpeg_heavy": (dict(jpeg_quality=10), (400, 401)),
+    "jpeg_mild": (dict(jpeg_quality=60), (410,)),
+    "motion_blur": (dict(motion_blur=1), (420, 421)),
+    "blur_noise": (dict(motion_blur=1, noise_sigma=12.0), (430,)),
+}
+
+KEYS = ("pts_within_2", "visibility_accuracy", "occlusion_recall",
+        "visible_recall")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("weights", nargs="?", default="default")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--grid", type=int, default=12)
+    args = ap.parse_args()
+
+    from tdspa.eval.tracking_quality import tracking_quality
+    from tdspa.features.matcher import estimate_degradation, load_matcher
+    from tdspa.features.tracks import PyramidalLKTracker
+    from tdspa.utils.synthetic_video import make_tracking_scene
+
+    params = load_matcher(args.weights)
+    classical = PyramidalLKTracker(grid_size=args.grid, device="cpu")
+    learned = PyramidalLKTracker(grid_size=args.grid, device="cpu",
+                                 matcher=params)
+
+    report = {}
+    for name, (kw, seeds) in REGIMES.items():
+        accs = {f"{k}_{who}": [] for k in KEYS for who in ("lk", "m")}
+        gate = []
+        for seed in seeds:
+            video, gt_tracks, gt_vis = make_tracking_scene(seed=seed, **kw)
+            gate.append(bool(estimate_degradation(video)["degraded"]))
+            base = tracking_quality(classical(video), gt_tracks, gt_vis)
+            ours = tracking_quality(learned(video), gt_tracks, gt_vis)
+            for k in KEYS:
+                accs[f"{k}_lk"].append(base[k])
+                accs[f"{k}_m"].append(ours[k])
+        row = {k: round(float(np.mean(v)), 3) for k, v in accs.items()}
+        row["gate_engages"] = round(float(np.mean(gate)), 2)
+        report[name] = row
+        print(f"{name:14s} gate {row['gate_engages']:.2f} "
+              f"pts2 {row['pts_within_2_lk']:.3f}->"
+              f"{row['pts_within_2_m']:.3f}  acc "
+              f"{row['visibility_accuracy_lk']:.3f}->"
+              f"{row['visibility_accuracy_m']:.3f}  occ "
+              f"{row['occlusion_recall_lk']:.3f}->"
+              f"{row['occlusion_recall_m']:.3f}  visrec "
+              f"{row['visible_recall_lk']:.3f}->"
+              f"{row['visible_recall_m']:.3f}", flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,22 @@ LEARNED one, trained on synthetic scenes with exact ground truth
 * ``refine_tracks``: iterative runtime pass — sample the cost patch at the
   current estimate, apply the head, move, repeat; fuses the head's
   visibility with the cost evidence.
+* ``TemplateSelect`` + the template BANK (round 4): the frame-0 template
+  goes stale under deformation/rotation (the round-3 measured limiter on
+  non-rigid content). With ``bank > 0`` the refinement runs two phases:
+  phase 1 against the frame-0 template as before, then a bank of
+  visibility-gated template vectors is sampled from the phase-1 positions
+  (per point: the most-visible frame in each of ``bank`` temporal
+  segments, falling back to frame 0 when a segment has no confident
+  frame), and phase 2 re-refines against a LEARNED softmax selection over
+  the per-template cost patches. Everything stays one batched program —
+  no per-frame recurrence; the expensive patch sampling is shared across
+  templates on the XLA path.
 * ``train_matcher``: self-supervised-style training driver (the scenes are
   synthetic, so supervision is free): given a ground-truth position
   perturbed by up to ``radius`` px, predict the correction and the
-  ground-truth visibility.
+  ground-truth visibility — differentiated through the SAME two-phase
+  bank code path the runtime executes.
 
 This is the reference's CoTracker3 capability slot (inference.py:97-154)
 built the TPU-native way: correlation + learned readout, batched over all
@@ -101,6 +113,28 @@ class MatcherHead(nn.Module):
         return offset, out[..., 2]
 
 
+class TemplateSelect(nn.Module):
+    """Per-template quality stats -> softmax selection weights.
+
+    Input [... M 3]: (peak, mean, peak - mean) of each template's cost
+    patch. A sharp, high peak over a flat background marks a template that
+    still matches the current appearance; stale templates (deformed /
+    rotated content) flatten. One Dense keeps it a calibrated scorer, not
+    a second matcher.
+    """
+
+    @nn.compact
+    def __call__(self, stats):  # [... M 3]
+        score = nn.Dense(1, name="fc")(stats)[..., 0]  # [... M]
+        return jax.nn.softmax(score, axis=-1)
+
+
+def _bank_stats(cost):  # [... M K2] -> [... M 3]
+    peak = jnp.max(cost, axis=-1)
+    mean = jnp.mean(cost, axis=-1)
+    return jnp.stack([peak, mean, peak - mean], axis=-1)
+
+
 @functools.lru_cache(maxsize=8)
 def _offset_grid_np(radius: int):
     r = np.arange(-radius, radius + 1, dtype=np.float32)
@@ -120,23 +154,30 @@ def _to_gray01(video):
 
 
 def init_matcher(key, dim: int = 16, radius: int = 4, hidden: int = 128,
-                 stride: int = 2, fhidden: int = 32):
-    """Initialize matcher params {'feature': ..., 'head': ...}.
+                 stride: int = 2, fhidden: int = 32, bank: int = 0):
+    """Initialize matcher params {'feature', 'head'[, 'select'], 'config'}.
 
     ``radius`` is in FEATURE pixels (search reach = radius*stride image px).
+    ``bank`` > 0 enables the two-phase template-memory refinement with that
+    many visibility-gated historical templates (plus the frame-0 one).
     """
-    kf, kh = jax.random.split(key)
+    kf, kh, ks = jax.random.split(key, 3)
     fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
     head = MatcherHead(radius=radius, hidden=hidden)
     k2 = (2 * radius + 1) ** 2
     fparams = fnet.init(kf, jnp.zeros((1, 32, 128)))["params"]
     hparams = head.init(kh, jnp.zeros((1, k2)))["params"]
-    return {
+    params = {
         "feature": fparams,
         "head": hparams,
         "config": {"dim": dim, "radius": radius, "hidden": hidden,
-                   "stride": stride, "fhidden": fhidden},
+                   "stride": stride, "fhidden": fhidden, "bank": bank},
     }
+    if bank > 0:
+        params["select"] = TemplateSelect().init(
+            ks, jnp.zeros((1, bank + 1, 3))
+        )["params"]
+    return params
 
 
 def _cfg(params):
@@ -151,12 +192,13 @@ def _cfg(params):
         geti("hidden"),
         geti("stride", 1),
         geti("fhidden", 16),
+        geti("bank", 0),
     )
 
 
 def compute_features(params, video):
     """[T H W (3)] -> [T H/s W/s D] L2-normalized match features."""
-    dim, _, _, stride, fhidden = _cfg(params)
+    dim, _, _, stride, fhidden, _ = _cfg(params)
     return MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden).apply(
         {"params": params["feature"]}, _to_gray01(video)
     )
@@ -173,6 +215,18 @@ def _cost_patches(feats, template_vec, positions, radius: int, stride: int):
     tdspa.kernels.matcher.cost_patches_pallas on TPU instead (same output,
     interior-exact — see its parity test).
     """
+    return _cost_patches_multi(
+        feats, template_vec[:, jnp.newaxis], positions, radius, stride
+    )[:, :, 0]
+
+
+def _cost_patches_multi(feats, template_vecs, positions, radius: int,
+                        stride: int):
+    """Cost patches against a template BANK (XLA path).
+
+    template_vecs: [N M D]. Returns [N T M K2]. The expensive patch
+    sampling happens ONCE — the bank only widens the final einsum.
+    """
     n, t = positions.shape[:2]
     offs = _offset_grid(radius)  # [K2, 2]
     k2 = offs.shape[0]
@@ -182,7 +236,72 @@ def _cost_patches(feats, template_vec, positions, radius: int, stride: int):
     patch = bilinear_sample(
         feats, coords.reshape(n * k2, t, 2)
     ).reshape(n, k2, t, -1)
-    return jnp.einsum("nktd,nd->ntk", patch, template_vec)
+    return jnp.einsum("nktd,nmd->ntmk", patch, template_vecs)
+
+
+def _build_bank(sampled, vis_logit, template_vec0, bank: int):
+    """Visibility-gated historical template bank.
+
+    sampled: [N T D] feature vectors at the phase-1 positions;
+    vis_logit: [N T] phase-1 visibility; template_vec0: [N D].
+    Per point and per temporal segment (``bank`` equal segments), takes the
+    most-visible frame's vector; a segment whose best logit is <= 0 (no
+    confidently-visible frame — the point is occluded there) falls back to
+    the frame-0 template, so occlusion never poisons the bank.
+    Returns [N bank+1 D] (frame-0 template first).
+    """
+    n, t, _ = sampled.shape
+    bounds = np.linspace(0, t, bank + 1).astype(int)
+    vecs = [template_vec0]
+    for m in range(bank):
+        lo, hi = int(bounds[m]), int(bounds[m + 1])
+        if hi <= lo:  # more segments than frames: duplicate frame 0
+            vecs.append(template_vec0)
+            continue
+        seg = vis_logit[:, lo:hi]
+        idx = jnp.argmax(seg, axis=1)  # [N]
+        vec = jnp.take_along_axis(
+            sampled[:, lo:hi], idx[:, None, None], axis=1
+        )[:, 0]
+        conf = jnp.take_along_axis(seg, idx[:, None], axis=1)[:, 0]
+        vecs.append(jnp.where((conf > 0.0)[:, None], vec, template_vec0))
+    return jnp.stack(vecs, axis=1)
+
+
+def _run_matcher(weights, head, cost_multi, feats, template_vec, tracks,
+                 stride: int, iterations: int, bank: int):
+    """The (two-)phase refinement shared by runtime and training.
+
+    Phase 1 refines against the frame-0 template. With ``bank`` > 0 (and
+    ``weights['select']`` present), a visibility-gated bank is sampled
+    from the phase-1 positions and phase 2 re-refines against the learned
+    softmax selection over per-template cost patches.
+
+    Returns (positions [N T 2], vis logits [N T], per-iteration list of
+    (pos, vis) for training supervision).
+    """
+    steps = []
+    pos = tracks
+    vis = jnp.zeros(tracks.shape[:2], jnp.float32)
+    for _ in range(iterations):
+        cost = cost_multi(pos, template_vec[:, jnp.newaxis])[:, :, 0]
+        delta, vis = head.apply({"params": weights["head"]}, cost)
+        pos = pos + delta * float(stride)
+        steps.append((pos, vis))
+    if bank > 0:
+        sampled = bilinear_sample(feats, img_to_feat(pos, stride))
+        bankvecs = _build_bank(sampled, vis, template_vec, bank)
+        select = TemplateSelect()
+        for _ in range(iterations):
+            cost = cost_multi(pos, bankvecs)  # [N T M K2]
+            w = select.apply(
+                {"params": weights["select"]}, _bank_stats(cost)
+            )  # [N T M]
+            fused = jnp.einsum("ntm,ntmk->ntk", w, cost)
+            delta, vis = head.apply({"params": weights["head"]}, fused)
+            pos = pos + delta * float(stride)
+            steps.append((pos, vis))
+    return pos, vis, steps
 
 
 def refine_tracks(params, video, tracks, iterations: int = 2,
@@ -211,10 +330,12 @@ def refine_tracks(params, video, tracks, iterations: int = 2,
       (tracks [N T 2], vis_logits [N T]).
     """
     # static config: resolve outside jit
-    dim, radius, hidden, stride, fhidden = _cfg(params)
+    dim, radius, hidden, stride, fhidden, bank = _cfg(params)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     weights = {"feature": params["feature"], "head": params["head"]}
+    if bank > 0:
+        weights["select"] = params["select"]
     if template_frame is None:
         template_frame = jnp.asarray(video)[0]
     if template_pos is None:
@@ -222,20 +343,48 @@ def refine_tracks(params, video, tracks, iterations: int = 2,
     return _refine_tracks_jit(
         weights, jnp.asarray(video), jnp.asarray(tracks, jnp.float32),
         jnp.asarray(template_frame), jnp.asarray(template_pos, jnp.float32),
-        dim, radius, hidden, stride, fhidden, iterations, refine_first,
+        dim, radius, hidden, stride, fhidden, bank, iterations, refine_first,
         backend,
     )
+
+
+def _make_cost_multi(feats, radius: int, stride: int, backend: str):
+    """(pos [N T 2] image px, tvecs [N M D]) -> costs [N T M K2]."""
+    if backend == "xla":
+        def cost_multi(pos, tvecs):
+            return _cost_patches_multi(feats, tvecs, pos, radius, stride)
+        return cost_multi
+
+    from tdspa.kernels.matcher import cost_patches_pallas
+
+    def cost_multi(pos, tvecs):
+        n, m = tvecs.shape[:2]
+        t = pos.shape[1]
+        # The kernel fuses sampling+dot per (point, template) pair: feed it
+        # the bank as m interleaved rows per point (row i*m+j = point i,
+        # template j), positions repeated to match.
+        fpos = img_to_feat(pos, stride)
+        cost = cost_patches_pallas(
+            feats,
+            tvecs.reshape(n * m, -1),
+            jnp.repeat(fpos, m, axis=0),
+            radius,
+            interpret=(backend == "pallas_interpret"),
+        )  # [N*M T K2]
+        return cost.reshape(n, m, t, -1).transpose(0, 2, 1, 3)
+
+    return cost_multi
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dim", "radius", "hidden", "stride", "fhidden", "iterations",
+        "dim", "radius", "hidden", "stride", "fhidden", "bank", "iterations",
         "refine_first", "backend",
     ),
 )
 def _refine_tracks_jit(params, video, tracks, template_frame, template_pos,
-                       dim, radius, hidden, stride, fhidden, iterations,
+                       dim, radius, hidden, stride, fhidden, bank, iterations,
                        refine_first, backend="xla"):
     head = MatcherHead(radius=radius, hidden=hidden)
     fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
@@ -247,23 +396,11 @@ def _refine_tracks_jit(params, video, tracks, template_frame, template_pos,
         tfeats, img_to_feat(template_pos, stride)[:, jnp.newaxis]
     )[:, 0]  # [N D]
 
-    if backend == "xla":
-        def cost_fn(pos):
-            return _cost_patches(feats, template_vec, pos, radius, stride)
-    else:
-        from tdspa.kernels.matcher import cost_patches_pallas
-
-        def cost_fn(pos):
-            return cost_patches_pallas(
-                feats, template_vec, img_to_feat(pos, stride), radius,
-                interpret=(backend == "pallas_interpret"),
-            )
-
-    pos = tracks
-    vis = jnp.zeros(tracks.shape[:2], jnp.float32)
-    for _ in range(iterations):
-        delta, vis = head.apply({"params": params["head"]}, cost_fn(pos))
-        pos = pos + delta * float(stride)  # head regresses FEATURE px
+    cost_multi = _make_cost_multi(feats, radius, stride, backend)
+    pos, vis, _ = _run_matcher(
+        params, head, cost_multi, feats, template_vec, tracks,
+        stride, iterations, bank,
+    )
     if not refine_first:
         # Frame 0 is the template: identity position, surely visible.
         pos = jnp.concatenate([tracks[:, :1], pos[:, 1:]], axis=1)
@@ -342,6 +479,7 @@ def train_matcher(
     stride: int = 2,
     fhidden: int = 32,
     iterations: int = 2,
+    bank: int = 0,
     occlusion_weight: float = 4.0,
     scene_kwargs: dict | None = None,
     log_every: int = 50,
@@ -350,11 +488,13 @@ def train_matcher(
 
     Supervision is exact (synthetic ground truth): for random (point, frame)
     pairs, perturb the true position by up to the search reach
-    (radius*stride image px) and train the head — unrolled for the same
-    number of refinement ``iterations`` the runtime applies, so the second
-    pass learns to POLISH the first's output — to (a) regress the
-    correction, (b) classify ground-truth visibility. One scene per step
-    (cycled), warmup+cosine LR; everything jitted.
+    (radius*stride image px) and train — differentiated through the SAME
+    (two-)phase ``_run_matcher`` code path the runtime executes, so with
+    ``bank`` > 0 the template bank is built from the model's own phase-1
+    positions/visibility exactly as at inference — to (a) regress the
+    correction, (b) classify ground-truth visibility, at every unrolled
+    iteration (later iterations weigh more: they are the output). One scene
+    per step (cycled), warmup+cosine LR; everything jitted.
     """
     import optax
 
@@ -366,8 +506,10 @@ def train_matcher(
     visible_j = jnp.asarray(visible.astype(np.float32))
 
     params = init_matcher(key, dim=dim, radius=radius, hidden=hidden,
-                          stride=stride, fhidden=fhidden)
+                          stride=stride, fhidden=fhidden, bank=bank)
     trainable = {"feature": params["feature"], "head": params["head"]}
+    if bank > 0:
+        trainable["select"] = params["select"]
     head = MatcherHead(radius=radius, hidden=hidden)
     fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
     tx = optax.adamw(
@@ -378,8 +520,6 @@ def train_matcher(
     opt_state = tx.init(trainable)
 
     def loss_fn(tr, key, video, gt_tracks, gt_visible):
-        n, t = gt_tracks.shape[:2]
-        k1, k2 = jax.random.split(key)
         feats = fnet.apply({"params": tr["feature"]}, _to_gray01(video))
         template_vec = bilinear_sample(
             feats[:1], img_to_feat(gt_tracks[:, :1], stride)
@@ -389,25 +529,26 @@ def train_matcher(
         # (the search reach is radius FEATURE px = radius*stride image px).
         reach = float(radius * stride)
         noise = jax.random.uniform(
-            k1, gt_tracks.shape, minval=-reach, maxval=reach
+            key, gt_tracks.shape, minval=-reach, maxval=reach
         )
-        pred = gt_tracks + noise
+        cost_multi = _make_cost_multi(feats, radius, stride, "xla")
+        _, _, unrolled = _run_matcher(
+            tr, head, cost_multi, feats, template_vec, gt_tracks + noise,
+            stride, iterations, bank,
+        )
         vis = gt_visible  # [N T]
         pos_loss = 0.0
         vis_loss = 0.0
-        for it in range(iterations):
-            cost = _cost_patches(feats, template_vec, pred, radius, stride)
-            delta, vis_logit = head.apply({"params": tr["head"]}, cost)
-            pred = pred + delta * float(stride)
+        for it, (pred, vis_logit) in enumerate(unrolled):
             err = pred - gt_tracks
             huber = optax.huber_loss(err, delta=1.0).sum(-1)  # [N T]
             # Occluded (point, frame) pairs are a small minority of the
             # grid; unweighted BCE learns "predict visible" and occlusion
             # recall collapses (~0.45 measured). Upweight the occluded
-            # class. Later iterations weigh more (they are the output).
+            # class.
             bce = optax.sigmoid_binary_cross_entropy(vis_logit, vis)
             w = vis + occlusion_weight * (1.0 - vis)
-            scale = 1.0 if it == iterations - 1 else 0.5
+            scale = 1.0 if it == len(unrolled) - 1 else 0.5
             pos_loss += scale * (huber * vis).sum() / jnp.maximum(
                 vis.sum(), 1.0
             )

@@ -287,17 +287,17 @@ class PyramidalLKTracker:
         # the original query positions for every chunk — identical to the
         # single-call path's template.
         template_frame = _to_gray(chunks[0][:1])[0]
-        # Auto mode: accumulate cheap per-chunk degradation stats (device
-        # scalars, NO host fetch inside the loop — a fetch would serialize
-        # the upload/compute overlap this method exists for) and decide
-        # AFTER all chunks; the matcher post-pass then runs over the stored
-        # chunks. Engages if ANY chunk looks degraded — strictly more
-        # sensitive than the single-call path's full-video estimate (a
-        # mid-stream degraded segment triggers here), which is the safe
-        # direction; every non-'auto' matcher setting keeps the exact
-        # chunked==single-call identity.
+        # The matcher post-pass runs ONCE over the full video AFTER the LK
+        # loop (not per chunk): the template-memory bank samples anchor
+        # frames across the WHOLE timeline, and auto mode's degradation
+        # decision accumulates per-chunk stats (device scalars, NO host
+        # fetch inside the loop — a fetch would serialize the
+        # upload/compute overlap this method exists for). Auto engages if
+        # ANY chunk looks degraded — strictly more sensitive than the
+        # single-call path's full-video estimate (a mid-stream degraded
+        # segment triggers here), which is the safe direction.
         auto_mode = isinstance(self.matcher, str)
-        matcher_params = None if auto_mode else self._matcher_for(chunks[0])
+        matcher_params = None if auto_mode else self.matcher
         chunk_stats = []
         prev_last = None
         all_tracks, all_vis = [], []
@@ -314,42 +314,29 @@ class PyramidalLKTracker:
             )  # [N Ts 2]
             if prev_last is not None:
                 tr, vi = tr[:, 1:], vi[:, 1:]
-            # Chain LK on its OWN last position (not the matcher-refined
-            # one) so the LK trajectory — and therefore the whole result —
-            # is identical to a single call on the concatenated video.
-            lk_last = tr[:, -1]
-            if matcher_params is not None:
-                # Per-chunk learned refinement is identical to one full-video
-                # pass: the matcher is stateless across frames given the
-                # (persistent) frame-0 template.
-                tr, vi = self._apply_matcher(
-                    c, tr, matcher_params, template_frame=chunks[0][0],
-                    template_pos=queries,
-                    refine_first=prev_last is not None,
-                )
-            elif auto_mode:
+            if auto_mode:
                 from tdspa.features.matcher import _degradation_stats
 
                 chunk_stats.append(_degradation_stats(c))  # device scalars
             all_tracks.append(tr)
             all_vis.append(vi)
-            pos = lk_last
+            pos = tr[:, -1]
             prev_last = c[-1]
+        tracks_cat = jnp.concatenate(all_tracks, axis=1)
+        vis_cat = jnp.concatenate(all_vis, axis=1)
         if chunk_stats and self._auto_engage(chunk_stats):
             from tdspa.features.matcher import load_matcher
 
             if self._auto_matcher_params is None:
                 self._auto_matcher_params = load_matcher("default")
-            for i, c in enumerate(chunks):
-                all_tracks[i], all_vis[i] = self._apply_matcher(
-                    c, all_tracks[i], self._auto_matcher_params,
-                    template_frame=chunks[0][0], template_pos=queries,
-                    refine_first=i > 0,
-                )
-        return {
-            "tracks": jnp.concatenate(all_tracks, axis=1),
-            "visible": jnp.concatenate(all_vis, axis=1),
-        }
+            matcher_params = self._auto_matcher_params
+        if matcher_params is not None:
+            # One pass on the concatenated video == the single-call path
+            # exactly (frame 0 of the concatenation IS the template frame).
+            tracks_cat, vis_cat = self._apply_matcher(
+                jnp.concatenate(chunks, axis=0), tracks_cat, matcher_params
+            )
+        return {"tracks": tracks_cat, "visible": vis_cat}
 
     @staticmethod
     def _auto_engage(chunk_stats) -> bool:

@@ -88,6 +88,52 @@ def _bilinear(img, x, y):
     return top * (1 - fy) + bot * fy
 
 
+# JPEG luminance quantization table (Annex K of the JPEG standard), the
+# quality-50 reference point; scaled per the libjpeg quality convention.
+_JPEG_Q50 = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    np.float32,
+)
+
+
+def _jpeg_like(v, quality: int):
+    """JPEG-style 8x8 block-DCT quantization, per channel, codec-free.
+
+    v: [T H W 3] f32 in [0, 255]. Produces the blocking/ringing artifact
+    family of real compression (no chroma subsampling/entropy stage — those
+    don't change the artifact geometry a tracker sees).
+    """
+    q = int(quality)
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    qtab = np.clip(np.floor((_JPEG_Q50 * scale + 50.0) / 100.0), 1, 255)
+    # Orthonormal DCT-II basis.
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C *= np.where(k[:, None] == 0, np.sqrt(1 / 8.0), np.sqrt(2 / 8.0))
+    C = C.astype(np.float32)
+    t, h, w, c = v.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(v, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    # blocks[t, a, i, b, k, c]: block-row a, in-block row i, block-col b,
+    # in-block col k. 2D DCT per block: coef = C X C^T.
+    blocks = pad.reshape(t, hp // 8, 8, wp // 8, 8, c) - 128.0
+    coef = np.einsum("ui,taibkc,vk->taubvc", C, blocks, C, optimize=True)
+    qb = qtab[None, None, :, None, :, None]
+    coef = np.round(coef / qb) * qb
+    rec = np.einsum("ui,taubvc,vk->taibkc", C, coef, C, optimize=True)
+    rec = rec.reshape(t, hp, wp, c) + 128.0
+    return rec[:, :h, :w]
+
+
 def make_tracking_scene(
     num_frames: int = 24,
     height: int = 160,
@@ -105,6 +151,8 @@ def make_tracking_scene(
     deform_period: float = 16.0,
     zoom_rate: float = 0.0,
     rot_rate: float = 0.0,
+    jpeg_quality: int = 0,
+    motion_blur: int = 0,
 ):
     """Render a scene and its exact tracking ground truth.
 
@@ -121,6 +169,12 @@ def make_tracking_scene(
       ``contrast``: global contrast scale about 128 (< 1 = low-texture).
       ``gain_flicker``: per-frame multiplicative exposure swing amplitude
         (frame t is scaled by 1 + a*sin(2 pi t / 8)).
+      ``jpeg_quality``: > 0 applies JPEG-style 8x8 block-DCT quantization
+        at that quality (1..100, lower = blockier) — codec-free
+        compression artifacts. HELD OUT of matcher training and of the
+        auto-gate calibration (gate-generalization regime, VERDICT-r3 #6).
+      ``motion_blur``: > 0 smears each frame over +/-that many neighbor
+        frames (exposure-time blur); also held out.
 
     Non-rigid deformation (``deform_amp`` > 0, applied to GEOMETRY — the
     composited frame is backward-warped by a smooth analytic displacement
@@ -198,8 +252,23 @@ def make_tracking_scene(
             warped.append(_bilinear(video[t], xgrid - dx, ygrid - dy))
         video = np.clip(np.stack(warped), 0, 255).astype(np.uint8)
 
-    if contrast != 1.0 or noise_sigma > 0.0 or gain_flicker > 0.0:
+    if (
+        contrast != 1.0 or noise_sigma > 0.0 or gain_flicker > 0.0
+        or jpeg_quality > 0 or motion_blur > 0
+    ):
         v = video.astype(np.float32)
+        if motion_blur > 0:
+            # Temporal box smear over +/-motion_blur frames (exposure-time
+            # blur). Photometric-only approximation: the GT tracks stay the
+            # instantaneous mid-exposure geometry, matching how a real
+            # tracker is scored on blurred footage.
+            k = 2 * motion_blur + 1
+            pad = np.concatenate(
+                [v[:1]] * motion_blur + [v] + [v[-1:]] * motion_blur, axis=0
+            )
+            v = np.stack(
+                [pad[t : t + k].mean(axis=0) for t in range(num_frames)]
+            )
         if contrast != 1.0:
             v = (v - 128.0) * float(contrast) + 128.0
         if gain_flicker > 0.0:
@@ -209,6 +278,8 @@ def make_tracking_scene(
             v = v * gains[:, None, None, None]
         if noise_sigma > 0.0:
             v = v + rng.normal(0.0, noise_sigma, v.shape)
+        if jpeg_quality > 0:
+            v = _jpeg_like(np.clip(v, 0, 255), jpeg_quality)
         video = np.clip(v, 0, 255).astype(np.uint8)
 
     def topmost_surface(x, y, t):
