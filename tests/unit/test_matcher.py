@@ -340,6 +340,32 @@ def test_chunked_auto_engages_on_mid_stream_degradation(shipped, monkeypatch):
     )
 
 
+def test_estimate_degradation_held_out_regimes():
+    """Gate generalization on degradations it was NEVER tuned on
+    (VERDICT-r3 #6; regimes also held out of matcher training): the gate
+    must stay OFF wherever the matcher measured neutral-or-negative and
+    engage where it measured positive. Measured regime-by-regime deltas in
+    examples/matcher_benchmark.py runs (docs/BENCHMARKS.md round 4 "Gate
+    generalization"): jpeg_heavy matcher-neutral (pts2 -0.003), jpeg_mild
+    neutral, motion_blur acc -0.018 -> OFF is correct for all three;
+    blur_noise matcher-positive (noise dominates) -> ON."""
+    from tdspa.features.matcher import estimate_degradation
+
+    decisions = {}
+    for name, kw in {
+        "jpeg_heavy": dict(jpeg_quality=10),
+        "jpeg_mild": dict(jpeg_quality=60),
+        "motion_blur": dict(motion_blur=1),
+        "blur_noise": dict(motion_blur=1, noise_sigma=12.0),
+    }.items():
+        video, _, _ = make_tracking_scene(seed=400, **kw)
+        decisions[name] = estimate_degradation(video)["degraded"]
+    assert not decisions["jpeg_heavy"], decisions
+    assert not decisions["jpeg_mild"], decisions
+    assert not decisions["motion_blur"], decisions
+    assert decisions["blur_noise"], decisions
+
+
 def test_estimate_degradation_not_fooled_by_drift_or_cut():
     """Legitimate global luma changes must not read as exposure flicker:
     a fast linear fade (60% in one second) and a hard scene cut both keep
