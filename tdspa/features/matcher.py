@@ -116,23 +116,25 @@ class MatcherHead(nn.Module):
 class TemplateSelect(nn.Module):
     """Per-template quality stats -> softmax selection weights.
 
-    Input [... M 3]: (peak, mean, peak - mean) of each template's cost
-    patch. A sharp, high peak over a flat background marks a template that
-    still matches the current appearance; stale templates (deformed /
-    rotated content) flatten. One Dense keeps it a calibrated scorer, not
-    a second matcher.
+    Input [... M 4]: (peak, mean, peak - mean, temporal distance) of each
+    template's cost patch. A sharp, high peak over a flat background marks
+    a template that still matches the current appearance; stale templates
+    (deformed / rotated content) flatten. The temporal distance
+    |frame - anchor_frame| / T lets selection prefer temporally-near
+    templates on deforming content, where appearance decorrelates with
+    time. One Dense keeps it a calibrated scorer, not a second matcher.
     """
 
     @nn.compact
-    def __call__(self, stats):  # [... M 3]
+    def __call__(self, stats):  # [... M 4]
         score = nn.Dense(1, name="fc")(stats)[..., 0]  # [... M]
         return jax.nn.softmax(score, axis=-1)
 
 
-def _bank_stats(cost):  # [... M K2] -> [... M 3]
+def _bank_stats(cost, dt):  # [... M K2], [... M] -> [... M 4]
     peak = jnp.max(cost, axis=-1)
     mean = jnp.mean(cost, axis=-1)
-    return jnp.stack([peak, mean, peak - mean], axis=-1)
+    return jnp.stack([peak, mean, peak - mean, dt], axis=-1)
 
 
 @functools.lru_cache(maxsize=8)
@@ -175,7 +177,7 @@ def init_matcher(key, dim: int = 16, radius: int = 4, hidden: int = 128,
     }
     if bank > 0:
         params["select"] = TemplateSelect().init(
-            ks, jnp.zeros((1, bank + 1, 3))
+            ks, jnp.zeros((1, bank + 1, 4))
         )["params"]
     return params
 
@@ -242,21 +244,24 @@ def _cost_patches_multi(feats, template_vecs, positions, radius: int,
 def _build_bank(sampled, vis_logit, template_vec0, bank: int):
     """Visibility-gated historical template bank.
 
-    sampled: [N T D] feature vectors at the phase-1 positions;
-    vis_logit: [N T] phase-1 visibility; template_vec0: [N D].
+    sampled: [N T D] feature vectors at the current position estimates;
+    vis_logit: [N T] current visibility; template_vec0: [N D].
     Per point and per temporal segment (``bank`` equal segments), takes the
     most-visible frame's vector; a segment whose best logit is <= 0 (no
     confidently-visible frame — the point is occluded there) falls back to
     the frame-0 template, so occlusion never poisons the bank.
-    Returns [N bank+1 D] (frame-0 template first).
+    Returns (vecs [N bank+1 D], anchor frame indices [N bank+1] f32), with
+    the frame-0 template first.
     """
     n, t, _ = sampled.shape
     bounds = np.linspace(0, t, bank + 1).astype(int)
-    vecs = [template_vec0]
+    zeros = jnp.zeros((n,), jnp.float32)
+    vecs, anchors = [template_vec0], [zeros]
     for m in range(bank):
         lo, hi = int(bounds[m]), int(bounds[m + 1])
         if hi <= lo:  # more segments than frames: duplicate frame 0
             vecs.append(template_vec0)
+            anchors.append(zeros)
             continue
         seg = vis_logit[:, lo:hi]
         idx = jnp.argmax(seg, axis=1)  # [N]
@@ -264,8 +269,10 @@ def _build_bank(sampled, vis_logit, template_vec0, bank: int):
             sampled[:, lo:hi], idx[:, None, None], axis=1
         )[:, 0]
         conf = jnp.take_along_axis(seg, idx[:, None], axis=1)[:, 0]
-        vecs.append(jnp.where((conf > 0.0)[:, None], vec, template_vec0))
-    return jnp.stack(vecs, axis=1)
+        ok = conf > 0.0
+        vecs.append(jnp.where(ok[:, None], vec, template_vec0))
+        anchors.append(jnp.where(ok, (idx + lo).astype(jnp.float32), 0.0))
+    return jnp.stack(vecs, axis=1), jnp.stack(anchors, axis=1)
 
 
 def _run_matcher(weights, head, cost_multi, feats, template_vec, tracks,
@@ -289,13 +296,21 @@ def _run_matcher(weights, head, cost_multi, feats, template_vec, tracks,
         pos = pos + delta * float(stride)
         steps.append((pos, vis))
     if bank > 0:
-        sampled = bilinear_sample(feats, img_to_feat(pos, stride))
-        bankvecs = _build_bank(sampled, vis, template_vec, bank)
         select = TemplateSelect()
+        t = tracks.shape[1]
+        frames = jnp.arange(t, dtype=jnp.float32)
         for _ in range(iterations):
+            # Rebuild the bank each iteration from the CURRENT estimates —
+            # later iterations get fresher, better-localized templates.
+            sampled = bilinear_sample(feats, img_to_feat(pos, stride))
+            bankvecs, anchors = _build_bank(sampled, vis, template_vec, bank)
             cost = cost_multi(pos, bankvecs)  # [N T M K2]
+            dt = jnp.abs(
+                frames[jnp.newaxis, :, jnp.newaxis]
+                - anchors[:, jnp.newaxis, :]
+            ) / float(max(t, 1))  # [N T M]
             w = select.apply(
-                {"params": weights["select"]}, _bank_stats(cost)
+                {"params": weights["select"]}, _bank_stats(cost, dt)
             )  # [N T M]
             fused = jnp.einsum("ntm,ntmk->ntk", w, cost)
             delta, vis = head.apply({"params": weights["head"]}, fused)
@@ -355,23 +370,16 @@ def _make_cost_multi(feats, radius: int, stride: int, backend: str):
             return _cost_patches_multi(feats, tvecs, pos, radius, stride)
         return cost_multi
 
-    from tdspa.kernels.matcher import cost_patches_pallas
+    from tdspa.kernels.matcher import cost_patches_multi_pallas
 
     def cost_multi(pos, tvecs):
-        n, m = tvecs.shape[:2]
-        t = pos.shape[1]
-        # The kernel fuses sampling+dot per (point, template) pair: feed it
-        # the bank as m interleaved rows per point (row i*m+j = point i,
-        # template j), positions repeated to match.
-        fpos = img_to_feat(pos, stride)
-        cost = cost_patches_pallas(
-            feats,
-            tvecs.reshape(n * m, -1),
-            jnp.repeat(fpos, m, axis=0),
-            radius,
+        # One kernel pass for the whole bank: the per-point strip
+        # loads/rolls are shared across templates in VMEM, so M templates
+        # cost ~M tiny extra contraction passes, not M kernel invocations.
+        return cost_patches_multi_pallas(
+            feats, tvecs, img_to_feat(pos, stride), radius,
             interpret=(backend == "pallas_interpret"),
-        )  # [N*M T K2]
-        return cost.reshape(n, m, t, -1).transpose(0, 2, 1, 3)
+        )
 
     return cost_multi
 

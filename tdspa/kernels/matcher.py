@@ -66,13 +66,19 @@ def _lane_placer(dy: int, k: int):
 
 
 def _cost_kernel(pos_ref, tvec_ref, feats_ref, out_ref, *, radius, dim,
-                 hf, wf):
-    """One frame x 8 points.
+                 hf, wf, num_templates=1):
+    """One frame x 8 points x ``num_templates`` templates.
 
-    pos_ref [8, 2] f32 feature-px (x, y); tvec_ref [8, dim] f32 (L2-normed
-    template features); feats_ref [hf, wf*dim] f32 (channel-minor);
-    out_ref [8, 128] f32 — lane dy*(2R+1)+dx = cost at offset
-    (dx-R, dy-R), lanes >= (2R+1)^2 zero.
+    pos_ref [8, 2] f32 feature-px (x, y); tvec_ref [8, M*dim] f32
+    (M L2-normed template features per point, channel-minor);
+    feats_ref [hf, wf*dim] f32 (channel-minor); out_ref [8, M*128] f32 —
+    lane m*128 + dy*(2R+1)+dx = template m's cost at offset (dx-R, dy-R),
+    lanes with dy*k+dx >= (2R+1)^2 zero.
+
+    The template-bank matcher (features/matcher.py) evaluates M ~ 5
+    templates at ONE position per point: the strip loads + cyclic rolls
+    (the serial per-point cost) are shared across templates, so M
+    templates cost ~M tiny extra VPU/MXU passes, not M kernel calls.
     """
     k = 2 * radius + 1
     span = k + 1  # corners need one extra row/col
@@ -101,45 +107,50 @@ def _cost_kernel(pos_ref, tvec_ref, feats_ref, out_ref, *, radius, dim,
         strips.append(strip[:16, : xs * dim])
     patch = jnp.concatenate(strips, axis=0)  # [128, xs*dim]
 
-    # Channel contraction with each point's template vector.
     expand = _expand_matrix()  # [128, 8]
-    tvec_rows = jax.lax.dot_general(
-        expand, tvec_ref[:, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [128, dim]
-    tvec_tile = jnp.concatenate([tvec_rows] * xs, axis=1)  # [128, xs*dim]
-    proj = jax.lax.dot_general(
-        patch * tvec_tile, _channel_selector(dim, xs),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # [128, xs]: rows 16j+dy (dy<span valid), lanes dx (dx<span valid)
-
-    # Fractional bilinear combine (all of a point's offsets share it). The
-    # whole-tile sublane roll crosses strip boundaries only at each strip's
-    # row 15, outside the dy < span-1 <= 9 consumer window.
+    # Fractional bilinear weights (shared by every offset AND template).
     wx = _expand8((x - jnp.floor(x)).reshape(8, 1), expand)  # [128, 1]
     wy = _expand8((y - jnp.floor(y)).reshape(8, 1), expand)
-    p01 = pltpu.roll(proj, xs - 1, axis=1)
-    p10 = pltpu.roll(proj, 127, axis=0)
-    p11 = pltpu.roll(p01, 127, axis=0)
-    cost = (
-        proj * (1 - wx) * (1 - wy)
-        + p01 * wx * (1 - wy)
-        + p10 * (1 - wx) * wy
-        + p11 * wx * wy
-    )  # [128, xs]
+    sel = _channel_selector(dim, xs)
 
-    # Repack [8 points x 16 dy rows, xs dx lanes] -> [8, 128] lane-packed.
-    out = jnp.zeros((8, 128), jnp.float32)
-    for dy in range(k):
-        picked = jax.lax.dot_general(
-            _row_selector(dy), cost, (((1,), (0,)), ((), ())),
+    for m in range(num_templates):
+        # Channel contraction with each point's m-th template vector.
+        tvec_rows = jax.lax.dot_general(
+            expand, tvec_ref[:, m * dim:(m + 1) * dim],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [8, xs]
-        out = out + jax.lax.dot_general(
-            picked, _lane_placer(dy, k)[:xs, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[:, :] = out
+        )  # [128, dim]
+        tvec_tile = jnp.concatenate([tvec_rows] * xs, axis=1)
+        proj = jax.lax.dot_general(
+            patch * tvec_tile, sel,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [128, xs]: rows 16j+dy (dy<span), lanes dx (dx<span)
+
+        # Bilinear combine. The whole-tile sublane roll crosses strip
+        # boundaries only at each strip's row 15, outside dy < span-1 <= 9.
+        p01 = pltpu.roll(proj, xs - 1, axis=1)
+        p10 = pltpu.roll(proj, 127, axis=0)
+        p11 = pltpu.roll(p01, 127, axis=0)
+        cost = (
+            proj * (1 - wx) * (1 - wy)
+            + p01 * wx * (1 - wy)
+            + p10 * (1 - wx) * wy
+            + p11 * wx * wy
+        )  # [128, xs]
+
+        # Repack [8 points x 16 dy rows, xs dx lanes] -> [8, 128].
+        out = jnp.zeros((8, 128), jnp.float32)
+        for dy in range(k):
+            picked = jax.lax.dot_general(
+                _row_selector(dy), cost, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [8, xs]
+            out = out + jax.lax.dot_general(
+                picked, _lane_placer(dy, k)[:xs, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[:, m * 128:(m + 1) * 128] = out
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -159,8 +170,24 @@ def cost_patches_pallas(feats, template_vec, positions, radius: int = 4,
       tdspa.features.matcher._cost_patches on interior points (border
       windows shift inward instead of edge-clamping).
     """
+    return cost_patches_multi_pallas(
+        feats, template_vec[:, jnp.newaxis], positions, radius=radius,
+        interpret=interpret,
+    )[:, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def cost_patches_multi_pallas(feats, template_vecs, positions,
+                              radius: int = 4, interpret: bool = False):
+    """Template-BANK cost patches: [N M D] templates -> [N T M K2].
+
+    One kernel pass: the per-point strip loads/rolls are shared across the
+    M templates (features/matcher.py's bank evaluates every template at
+    the same position), so the bank costs ~M tiny extra contraction passes
+    instead of M full kernel invocations.
+    """
     t, hf, wf, dim = feats.shape
-    n = positions.shape[0]
+    n, m = template_vecs.shape[:2]
     k2 = (2 * radius + 1) ** 2
     if hf < 24:
         raise ValueError(f"feature map too short for strip loads: {hf} < 24")
@@ -173,12 +200,12 @@ def cost_patches_pallas(feats, template_vec, positions, radius: int = 4,
     if n_pad != n:
         pad = [(0, n_pad - n)]
         positions = jnp.pad(positions, pad + [(0, 0), (0, 0)])
-        template_vec = jnp.pad(template_vec, pad + [(0, 0)])
+        template_vecs = jnp.pad(template_vecs, pad + [(0, 0), (0, 0)])
     # Padded points sit at position (0, 0) — clamped in-kernel, harmless.
 
     pos_t = jnp.swapaxes(positions, 0, 1)  # [T N 2]
     kernel = functools.partial(
-        _cost_kernel, radius=radius, dim=dim, hf=hf, wf=wf
+        _cost_kernel, radius=radius, dim=dim, hf=hf, wf=wf, num_templates=m
     )
     out = pl.pallas_call(
         kernel,
@@ -186,18 +213,19 @@ def cost_patches_pallas(feats, template_vec, positions, radius: int = 4,
         in_specs=[
             pl.BlockSpec((None, 8, 2), lambda ti, g: (ti, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, dim), lambda ti, g: (g, 0),
+            pl.BlockSpec((8, m * dim), lambda ti, g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, hf, wf * dim), lambda ti, g: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, 8, 128), lambda ti, g: (ti, g, 0),
+        out_specs=pl.BlockSpec((None, 8, m * 128), lambda ti, g: (ti, g, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, n_pad, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, n_pad, m * 128), jnp.float32),
         interpret=interpret,
     )(
         pos_t.astype(jnp.float32),
-        template_vec.astype(jnp.float32),
+        template_vecs.reshape(n_pad, m * dim).astype(jnp.float32),
         feats.reshape(t, hf, wf * dim).astype(jnp.float32),
     )
-    return jnp.swapaxes(out[:, :n, :k2], 0, 1)  # [N T K2]
+    out = out[:, :n].reshape(t, n, m, 128)[..., :k2]  # [T N M K2]
+    return jnp.transpose(out, (1, 0, 2, 3))  # [N T M K2]

@@ -67,6 +67,50 @@ def test_cost_patches_border_finite():
     )
 
 
+@pytest.mark.parametrize("m", [1, 5])
+def test_cost_patches_multi_matches_xla_interior(m):
+    """Bank variant: M templates per point in one kernel pass (shared strip
+    loads) == the XLA multi oracle on interior points."""
+    from tdspa.features.matcher import _cost_patches_multi
+    from tdspa.kernels.matcher import cost_patches_multi_pallas
+
+    t, hf, wf, n, dim, radius, stride = 3, 32, 48, 11, 16, 4, 2
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(3), 3)
+    feats = _random_feats(k0, t, hf, wf, dim)
+    tvecs = jax.random.normal(k1, (n, m, dim), jnp.float32)
+    lo, hi = radius + 2, min(wf, hf) - radius - 3
+    fpos = jax.random.uniform(
+        k2, (n, t, 2), jnp.float32, minval=lo, maxval=hi
+    )
+    pos_img = fpos * stride + (stride - 1)
+    ref = _cost_patches_multi(feats, tvecs, pos_img, radius, stride)
+    got = cost_patches_multi_pallas(feats, tvecs, fpos, radius,
+                                    interpret=True)
+    assert got.shape == ref.shape == (n, t, m, (2 * radius + 1) ** 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_refine_tracks_bank_pallas_backend_matches_xla():
+    """Two-phase bank refinement through the multi kernel == the XLA path."""
+    params = init_matcher(jax.random.PRNGKey(4), bank=3)
+    video = np.random.default_rng(2).integers(
+        0, 255, (6, 64, 96, 3), dtype=np.uint8
+    )
+    tracks = np.random.default_rng(3).uniform(
+        24, 40, (9, 6, 2)
+    ).astype(np.float32)
+    p_xla, v_xla = refine_tracks(params, video, tracks, backend="xla")
+    p_pal, v_pal = refine_tracks(
+        params, video, tracks, backend="pallas_interpret"
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_pal), np.asarray(p_xla), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_pal), np.asarray(v_xla), atol=1e-3
+    )
+
+
 def test_refine_tracks_pallas_backend_matches_xla():
     """End-to-end refine parity: the kernel-backed path == the XLA path
     (interior tracks; both iterations go through the cost kernel)."""
