@@ -431,17 +431,23 @@ def make_training_scenes(
     width: int = 192,
     grid_size: int = 10,
     deform_amp_max: float = 0.0,
+    rot_rate_max: float = 0.0,
 ):
     """Degradation-randomized synthetic scenes with exact ground truth.
 
     ``deform_amp_max`` > 0 adds non-rigid warps (amp ~ U(0, max)) to every
-    other scene. Measured NEUTRAL for the shipped matcher: retraining with
-    deform_amp_max=5 moved deforming-scene metrics by <= +0.02 (pts2/acc)
-    while costing 0.04-0.05 occlusion recall on rigid scenes — the
-    rigid-trained matcher already generalizes to smooth warps, and the
-    remaining deforming-content limiter is frame-0 template deformation,
-    not appearance (docs/BENCHMARKS.md "Non-rigid content"). Kept at 0 so
-    regenerated weights match the shipped ones's distribution.
+    other scene. Measured NEUTRAL for the shipped bank=0 matcher:
+    retraining with deform_amp_max=5 moved deforming-scene metrics by
+    <= +0.02 (pts2/acc) while costing 0.04-0.05 occlusion recall on rigid
+    scenes — the rigid-trained matcher already generalizes to smooth
+    warps, and THAT model's limiter was frame-0 template staleness, which
+    the template bank now addresses (docs/BENCHMARKS.md "Non-rigid
+    content", "Template-memory bank").
+
+    ``rot_rate_max`` > 0 adds camera roll (rad/frame ~ U(0, max)) to every
+    third scene — the benchmark's rotation regimes are otherwise absent
+    from training. Both knobs draw from the rng ONLY when enabled so
+    disabled runs regenerate the shipped weights' scene distribution.
     """
     from tdspa.utils.synthetic_video import make_tracking_scene
 
@@ -466,6 +472,11 @@ def make_training_scenes(
             deform_amp=(
                 float(rng.uniform(0.0, deform_amp_max))
                 if (deform_amp_max > 0.0 and i % 2)
+                else 0.0
+            ),
+            rot_rate=(
+                float(rng.uniform(0.0, rot_rate_max))
+                if (rot_rate_max > 0.0 and i % 3 == 2)
                 else 0.0
             ),
         )
