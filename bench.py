@@ -320,7 +320,7 @@ def _orchestrate():
         return
     # The rounds-1/2 decode rate rides along for comparability; the
     # north-star e2e metric is the headline when it completes.
-    report, _ = _run_child("e2e", timeout_s=2700)
+    report, _ = _run_child("e2e", timeout_s=t_e2e)
     if report is None:
         decode["note"] = "e2e stage failed/timed out; decode-only record"
         print(json.dumps(decode))

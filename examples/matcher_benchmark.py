@@ -70,8 +70,14 @@ def main():
         gate = []
         for seed in seeds:
             video, gt_tracks, gt_vis = make_tracking_scene(seed=seed, **kw)
-            gate.append(bool(estimate_degradation(video)["degraded"]))
-            base = tracking_quality(classical(video), gt_tracks, gt_vis)
+            base_out = classical(video)
+            # The FULL auto decision: photometric degradation OR the
+            # classical pass's own collapse signal (AUTO_LK_OCCLUDED_FRAC).
+            gate.append(
+                bool(estimate_degradation(video)["degraded"])
+                or PyramidalLKTracker._collapse_engage(base_out["visible"])
+            )
+            base = tracking_quality(base_out, gt_tracks, gt_vis)
             ours = tracking_quality(learned(video), gt_tracks, gt_vis)
             for k in KEYS:
                 accs[f"{k}_lk"].append(base[k])

@@ -612,6 +612,18 @@ def train_matcher(
 AUTO_NOISE_SIGMA = 12.0
 AUTO_MIN_CONTRAST = 45.0
 AUTO_FLICKER = 0.05
+# Tracking-collapse signal: the photometric stats can't see regimes where
+# the FRAMES look clean but classical tracking still fails (fast pan:
+# points slide off their templates; the matcher improves pts-within-2
+# 0.31 -> 0.48 there yet no photometric threshold fires). The classical
+# tracker's own occluded-marking fraction separates cleanly on the full
+# benchmark family: healthy regimes (clean / zoom / roll / jpeg / blur)
+# mark 0.10-0.24 of (point, frame) pairs occluded, collapsed regimes
+# (degraded 0.54, deform 0.69, pan 0.77, rot_strong 0.79) mark >= 0.54
+# against true scene occlusion of 0.06-0.36. 0.45 splits the gap with
+# >= 0.09 margin on both sides (measured 2026-08-18, grid 12, seeds as in
+# examples/matcher_benchmark.py).
+AUTO_LK_OCCLUDED_FRAC = 0.45
 
 
 @jax.jit

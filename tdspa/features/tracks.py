@@ -114,13 +114,17 @@ class PyramidalLKTracker:
             from tdspa.features.matcher import load_matcher
 
             matcher = load_matcher(matcher)
-        # 'auto': per-video decision — engage the shipped matcher only on
-        # photometrically degraded content (it wins big there and mildly
-        # loses on clean/affine-motion content; thresholds + calibration in
-        # tdspa/features/matcher.py::estimate_degradation). Chunked tracking
-        # (track_chunks) decides from per-chunk stats after ALL chunks —
-        # engaging if ANY chunk looks degraded — so mid-stream degradation
-        # also triggers; __call__ estimates on the full video in one shot.
+        # 'auto': per-video decision — engage the shipped matcher when the
+        # video looks photometrically degraded (thresholds + calibration in
+        # tdspa/features/matcher.py::estimate_degradation) OR when the
+        # classical pass itself collapsed (it marks an implausibly large
+        # fraction of (point, frame) pairs occluded — fast pan does this
+        # with clean-looking frames; AUTO_LK_OCCLUDED_FRAC). The matcher
+        # wins big on both and mildly loses on clean/affine-motion content.
+        # Chunked tracking (track_chunks) decides from per-chunk stats
+        # after ALL chunks — engaging if ANY chunk looks degraded — so
+        # mid-stream degradation also triggers; __call__ estimates on the
+        # full video in one shot. Both paths see the same collapse signal.
         self.matcher = matcher
         self._auto_matcher_params = None
         # Decision threshold on the matcher's visibility logit. 0.0 is the
@@ -131,16 +135,24 @@ class PyramidalLKTracker:
         self.matcher_vis_threshold = matcher_vis_threshold
         self.device = device
 
-    def _matcher_for(self, video):
-        """The matcher params to apply for THIS video (None = don't)."""
+    def _matcher_for(self, video, lk_visible=None):
+        """The matcher params to apply for THIS video (None = don't).
+
+        lk_visible: the classical pass's visibility output ([N T] or
+        [N T 1]), enabling the tracking-collapse signal in 'auto' mode
+        (one scalar fetch; see AUTO_LK_OCCLUDED_FRAC in features/matcher).
+        """
         if self.matcher is None:
             return None
         if not isinstance(self.matcher, str):
             return self.matcher
-        # 'auto' mode: estimate degradation on (a sample of) the video.
+        # 'auto' mode: photometric degradation OR tracking collapse.
         from tdspa.features.matcher import estimate_degradation, load_matcher
 
-        if not estimate_degradation(video)["degraded"]:
+        engage = estimate_degradation(video)["degraded"] or (
+            lk_visible is not None and self._collapse_engage(lk_visible)
+        )
+        if not engage:
             return None
         if self._auto_matcher_params is None:
             self._auto_matcher_params = load_matcher("default")
@@ -223,7 +235,7 @@ class PyramidalLKTracker:
             # costs seconds through a dev-tunnel transport and the pipeline
             # consumes these on device anyway.
             tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
-            m = self._matcher_for(video)
+            m = self._matcher_for(video, lk_visible=visible)
             if m is not None:
                 tracks, visible = self._apply_matcher(video, tracks, m)
             return {"tracks": tracks, "visible": visible}
@@ -238,7 +250,7 @@ class PyramidalLKTracker:
             tracks, visible = track_video_lk(
                 np.asarray(video), queries, **kwargs
             )
-            m = self._matcher_for(video)
+            m = self._matcher_for(video, lk_visible=visible)
             if m is not None:
                 # This branch runs under jax.default_device(cpu) on TPU
                 # hosts (small frames / wide windows): force the XLA cost
@@ -324,7 +336,10 @@ class PyramidalLKTracker:
             prev_last = c[-1]
         tracks_cat = jnp.concatenate(all_tracks, axis=1)
         vis_cat = jnp.concatenate(all_vis, axis=1)
-        if chunk_stats and self._auto_engage(chunk_stats):
+        if chunk_stats and (
+            self._auto_engage(chunk_stats)
+            or self._collapse_engage(vis_cat)
+        ):
             from tdspa.features.matcher import load_matcher
 
             if self._auto_matcher_params is None:
@@ -354,6 +369,21 @@ class PyramidalLKTracker:
             ):
                 return True
         return False
+
+    @staticmethod
+    def _collapse_engage(visible) -> bool:
+        """Engage if classical tracking itself collapsed (it marks an
+        implausibly large fraction of (point, frame) pairs occluded —
+        fast pan does this while every photometric stat reads clean).
+        One scalar fetch on the concatenated visibility."""
+        import jax.numpy as jnp
+
+        from tdspa.features.matcher import AUTO_LK_OCCLUDED_FRAC
+
+        occluded_frac = 1.0 - float(
+            jnp.mean(jnp.asarray(visible, jnp.float32))
+        )
+        return occluded_frac > AUTO_LK_OCCLUDED_FRAC
 
 
 class CoTrackerProvider:

@@ -252,6 +252,35 @@ def test_matcher_auto_mode(shipped):
     )
 
 
+def test_auto_engages_on_tracking_collapse(shipped):
+    """Fast pan: every photometric stat reads clean, but the classical
+    pass collapses (it marks most (point, frame) pairs occluded) — the
+    auto gate must engage via the tracking-collapse signal
+    (AUTO_LK_OCCLUDED_FRAC) and match the always-on matcher."""
+    from tdspa.features.matcher import estimate_degradation
+
+    pan, _, _ = make_tracking_scene(
+        num_frames=16, height=96, width=160, grid_size=8, seed=5, pan=(8, 0)
+    )
+    # Precondition: the photometric gate alone would NOT fire here.
+    assert not estimate_degradation(pan)["degraded"]
+    classic = PyramidalLKTracker(grid_size=8, device="cpu")
+    assert PyramidalLKTracker._collapse_engage(classic(pan)["visible"])
+
+    auto = PyramidalLKTracker(grid_size=8, device="cpu", matcher="auto")
+    always = PyramidalLKTracker(grid_size=8, device="cpu", matcher=shipped)
+    np.testing.assert_allclose(
+        auto(pan)["tracks"], always(pan)["tracks"], atol=1e-5
+    )
+
+    # And a clean scene's healthy occlusion marking must stay far from the
+    # threshold (no false engage).
+    clean, _, _ = make_tracking_scene(
+        num_frames=16, height=96, width=160, grid_size=8, seed=5
+    )
+    assert not PyramidalLKTracker._collapse_engage(classic(clean)["visible"])
+
+
 def test_matcher_visibility_requires_in_bounds():
     """A point that exits the frame must be invisible even when the learned
     appearance logit says visible (cost patches clamp at feature-map
