@@ -63,33 +63,45 @@ def main():
     classical = PyramidalLKTracker(grid_size=args.grid, device="cpu")
     learned = PyramidalLKTracker(grid_size=args.grid, device="cpu",
                                  matcher=params)
+    # The full adaptive policy as shipped (photometric gate + collapse
+    # rescue + matcher), with the CANDIDATE weights pre-seeded into the
+    # auto cache so qualification measures the weights under test.
+    auto = PyramidalLKTracker(grid_size=args.grid, device="cpu",
+                              matcher="auto")
+    auto._auto_matcher_params = params
 
     report = {}
     for name, (kw, seeds) in REGIMES.items():
-        accs = {f"{k}_{who}": [] for k in KEYS for who in ("lk", "m")}
+        accs = {f"{k}_{who}": [] for k in KEYS for who in ("lk", "m", "a")}
         gate = []
         for seed in seeds:
             video, gt_tracks, gt_vis = make_tracking_scene(seed=seed, **kw)
             base_out = classical(video)
-            # The FULL auto decision: photometric degradation OR the
-            # classical pass's own collapse signal (AUTO_LK_OCCLUDED_FRAC).
+            # gate_engages reports the TRIGGER (photometric degradation OR
+            # the classical pass's collapse signal); the 'a' columns report
+            # the adaptive policy's end metrics (rescue may satisfy a
+            # collapse trigger without engaging the matcher).
             gate.append(
                 bool(estimate_degradation(video)["degraded"])
                 or PyramidalLKTracker._collapse_engage(base_out["visible"])
             )
             base = tracking_quality(base_out, gt_tracks, gt_vis)
             ours = tracking_quality(learned(video), gt_tracks, gt_vis)
+            policy = tracking_quality(auto(video), gt_tracks, gt_vis)
             for k in KEYS:
                 accs[f"{k}_lk"].append(base[k])
                 accs[f"{k}_m"].append(ours[k])
+                accs[f"{k}_a"].append(policy[k])
         row = {k: round(float(np.mean(v)), 3) for k, v in accs.items()}
         row["gate_engages"] = round(float(np.mean(gate)), 2)
         report[name] = row
         print(f"{name:14s} gate {row['gate_engages']:.2f} "
               f"pts2 {row['pts_within_2_lk']:.3f}->"
-              f"{row['pts_within_2_m']:.3f}  acc "
+              f"{row['pts_within_2_m']:.3f}"
+              f" (auto {row['pts_within_2_a']:.3f})  acc "
               f"{row['visibility_accuracy_lk']:.3f}->"
-              f"{row['visibility_accuracy_m']:.3f}  occ "
+              f"{row['visibility_accuracy_m']:.3f}"
+              f" (auto {row['visibility_accuracy_a']:.3f})  occ "
               f"{row['occlusion_recall_lk']:.3f}->"
               f"{row['occlusion_recall_m']:.3f}  visrec "
               f"{row['visible_recall_lk']:.3f}->"

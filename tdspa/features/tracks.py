@@ -135,28 +135,70 @@ class PyramidalLKTracker:
         self.matcher_vis_threshold = matcher_vis_threshold
         self.device = device
 
-    def _matcher_for(self, video, lk_visible=None):
+    def _matcher_for(self, video, lk_visible=None, rescue_drop=0.0):
         """The matcher params to apply for THIS video (None = don't).
 
         lk_visible: the classical pass's visibility output ([N T] or
         [N T 1]), enabling the tracking-collapse signal in 'auto' mode
         (one scalar fetch; see AUTO_LK_OCCLUDED_FRAC in features/matcher).
+        rescue_drop: how much the accepted rescue re-track reduced the
+        occluded-marking fraction (see _maybe_rescue). A rescue that
+        clearly recovered (drop >= 0.1) means the collapse was MOTION, now
+        fixed — the appearance matcher is not engaged on collapse grounds
+        (measured: on fast pan the rescued classical visibility is more
+        accurate than the matcher's, 0.81 vs 0.66).
         """
         if self.matcher is None:
             return None
         if not isinstance(self.matcher, str):
             return self.matcher
-        # 'auto' mode: photometric degradation OR tracking collapse.
+        # 'auto' mode: photometric degradation OR unrescued tracking
+        # collapse.
         from tdspa.features.matcher import estimate_degradation, load_matcher
 
         engage = estimate_degradation(video)["degraded"] or (
-            lk_visible is not None and self._collapse_engage(lk_visible)
+            lk_visible is not None
+            and rescue_drop < 0.1
+            and self._collapse_engage(lk_visible)
         )
         if not engage:
             return None
         if self._auto_matcher_params is None:
             self._auto_matcher_params = load_matcher("default")
         return self._auto_matcher_params
+
+    def _maybe_rescue(self, run, kwargs, tracks, visible):
+        """Auto-mode escalation: if the plain pass collapsed, re-track with
+        the frame-0 cost-volume re-localizer + coarse rescue.
+
+        Rescue is off by default because re-acquisition trades occlusion
+        recall on healthy content (docs/BENCHMARKS.md "Fast motion") — but
+        a collapsed pass (occluded-marking > AUTO_LK_OCCLUDED_FRAC) is
+        already degenerate, so the trade is strictly good there: measured
+        pts-within-2 0.31 -> 0.72 on fast pan, +0.02 elsewhere, exact
+        no-op on healthy content (never triggers). The re-track is kept
+        only when it recovers meaningfully (occluded-marking drops > 0.02
+        — appearance-driven collapse, e.g. heavy noise, is motion-rescue-
+        proof and keeps the plain result for the matcher to fix).
+
+        run: callable(kwargs) -> (tracks, visible) re-running the tracker.
+        Returns (tracks, visible, occluded-marking drop).
+        """
+        if not (
+            isinstance(self.matcher, str)  # adaptive policy = 'auto' only
+            and self.corr_radius == 0  # user-set corr config wins
+            and self._collapse_engage(visible)
+        ):
+            return tracks, visible, 0.0
+        rescued_tracks, rescued_visible = run(
+            dict(kwargs, corr_radius=4, corr_rescue_level=2)
+        )
+        drop = self._occluded_frac(visible) - self._occluded_frac(
+            rescued_visible
+        )
+        if drop > 0.02:
+            return rescued_tracks, rescued_visible, drop
+        return tracks, visible, 0.0
 
     def _apply_matcher(self, video, tracks, params,
                        template_frame=None, template_pos=None,
@@ -235,7 +277,13 @@ class PyramidalLKTracker:
             # costs seconds through a dev-tunnel transport and the pipeline
             # consumes these on device anyway.
             tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
-            m = self._matcher_for(video, lk_visible=visible)
+            tracks, visible, rescue_drop = self._maybe_rescue(
+                lambda kw: track_video_lk_pallas(video, queries, **kw),
+                kwargs, tracks, visible,
+            )
+            m = self._matcher_for(
+                video, lk_visible=visible, rescue_drop=rescue_drop
+            )
             if m is not None:
                 tracks, visible = self._apply_matcher(video, tracks, m)
             return {"tracks": tracks, "visible": visible}
@@ -250,7 +298,13 @@ class PyramidalLKTracker:
             tracks, visible = track_video_lk(
                 np.asarray(video), queries, **kwargs
             )
-            m = self._matcher_for(video, lk_visible=visible)
+            tracks, visible, rescue_drop = self._maybe_rescue(
+                lambda kw: track_video_lk(np.asarray(video), queries, **kw),
+                kwargs, tracks, visible,
+            )
+            m = self._matcher_for(
+                video, lk_visible=visible, rescue_drop=rescue_drop
+            )
             if m is not None:
                 # This branch runs under jax.default_device(cpu) on TPU
                 # hosts (small frames / wide windows): force the XLA cost
@@ -336,9 +390,20 @@ class PyramidalLKTracker:
             prev_last = c[-1]
         tracks_cat = jnp.concatenate(all_tracks, axis=1)
         vis_cat = jnp.concatenate(all_vis, axis=1)
+        # Collapse escalation (auto mode): one whole-video re-track with the
+        # rescue config — identical semantics to the single-call path's
+        # (frame 0 of the concatenation IS the template frame, and the
+        # chunked LK loop equals the single-shot one by construction).
+        tracks_cat, vis_cat, rescue_drop = self._maybe_rescue(
+            lambda kw: track_video_lk_pallas(
+                jnp.concatenate(chunks, axis=0), queries,
+                template_frame=template_frame, template_pos=queries, **kw,
+            ),
+            kwargs, tracks_cat, vis_cat,
+        )
         if chunk_stats and (
             self._auto_engage(chunk_stats)
-            or self._collapse_engage(vis_cat)
+            or (rescue_drop < 0.1 and self._collapse_engage(vis_cat))
         ):
             from tdspa.features.matcher import load_matcher
 
@@ -371,19 +436,21 @@ class PyramidalLKTracker:
         return False
 
     @staticmethod
-    def _collapse_engage(visible) -> bool:
-        """Engage if classical tracking itself collapsed (it marks an
-        implausibly large fraction of (point, frame) pairs occluded —
-        fast pan does this while every photometric stat reads clean).
-        One scalar fetch on the concatenated visibility."""
+    def _occluded_frac(visible) -> float:
+        """Marked-occluded fraction of (point, frame) pairs (one scalar
+        fetch)."""
         import jax.numpy as jnp
 
+        return 1.0 - float(jnp.mean(jnp.asarray(visible, jnp.float32)))
+
+    @classmethod
+    def _collapse_engage(cls, visible) -> bool:
+        """True if classical tracking itself collapsed (it marks an
+        implausibly large fraction of (point, frame) pairs occluded —
+        fast pan does this while every photometric stat reads clean)."""
         from tdspa.features.matcher import AUTO_LK_OCCLUDED_FRAC
 
-        occluded_frac = 1.0 - float(
-            jnp.mean(jnp.asarray(visible, jnp.float32))
-        )
-        return occluded_frac > AUTO_LK_OCCLUDED_FRAC
+        return cls._occluded_frac(visible) > AUTO_LK_OCCLUDED_FRAC
 
 
 class CoTrackerProvider:

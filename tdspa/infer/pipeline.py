@@ -263,11 +263,15 @@ class InferencePipeline:
             # the tracking-quality benchmark), and 3 LK iterations — with
             # the velocity-prior warm start, quality at 3 equals 4 on every
             # benchmark regime (static/pan/degraded; degraded even improves
-            # slightly) while cutting per-iteration kernel work. The
-            # learned matcher auto-engages ONLY on photometrically degraded
-            # content, where it wins big (pts2 0.71-0.74 -> 0.92-0.96) and
-            # classical LK+NCC collapses; clean/affine content stays on the
-            # classical path (tdspa/features/matcher.py thresholds).
+            # slightly) while cutting per-iteration kernel work. 'auto' is
+            # the adaptive quality policy: photometrically degraded content
+            # engages the learned matcher (pts2 0.71-0.74 -> 0.92-0.96
+            # where classical LK+NCC collapses), and a collapsed classical
+            # pass (occluded-marking > AUTO_LK_OCCLUDED_FRAC, e.g. fast
+            # pan with clean-looking frames) escalates to a cost-volume
+            # rescue re-track (pts2 0.31 -> 0.72 on pan). Clean/affine
+            # content stays on the single classical pass
+            # (tdspa/features/{matcher,tracks}.py thresholds).
             self._track_provider = PyramidalLKTracker(
                 grid_size=self.tracking_grid_size, fb_threshold=-1.0,
                 iterations=3, matcher="auto",

@@ -252,32 +252,45 @@ def test_matcher_auto_mode(shipped):
     )
 
 
-def test_auto_engages_on_tracking_collapse(shipped):
+def test_auto_escalates_on_tracking_collapse(shipped):
     """Fast pan: every photometric stat reads clean, but the classical
-    pass collapses (it marks most (point, frame) pairs occluded) — the
-    auto gate must engage via the tracking-collapse signal
-    (AUTO_LK_OCCLUDED_FRAC) and match the always-on matcher."""
+    pass collapses (it marks most (point, frame) pairs occluded). The
+    auto policy must detect the collapse (AUTO_LK_OCCLUDED_FRAC) and
+    escalate to the cost-volume rescue re-track; a motion collapse the
+    rescue fixes does NOT engage the appearance matcher (the rescued
+    classical visibility is the more accurate one on pan)."""
     from tdspa.features.matcher import estimate_degradation
 
-    pan, _, _ = make_tracking_scene(
-        num_frames=16, height=96, width=160, grid_size=8, seed=5, pan=(8, 0)
+    # The benchmark's pan regime (default 24x160x256 scene): enough of the
+    # content stays in frame for re-acquisition to matter. (On a much
+    # smaller frame the same pan sweeps ~80% of content out of view, the
+    # rescue's recovery is marginal, and the policy then legitimately
+    # engages the matcher on top.)
+    pan, gt_tracks, gt_vis = make_tracking_scene(
+        grid_size=8, seed=330, pan=(8, 0)
     )
-    # Precondition: the photometric gate alone would NOT fire here.
+    # Preconditions: photometrics read clean; the plain pass collapses.
     assert not estimate_degradation(pan)["degraded"]
     classic = PyramidalLKTracker(grid_size=8, device="cpu")
-    assert PyramidalLKTracker._collapse_engage(classic(pan)["visible"])
+    plain_out = classic(pan)
+    assert PyramidalLKTracker._collapse_engage(plain_out["visible"])
 
     auto = PyramidalLKTracker(grid_size=8, device="cpu", matcher="auto")
-    always = PyramidalLKTracker(grid_size=8, device="cpu", matcher=shipped)
+    auto_out = auto(pan)
+    rescued = PyramidalLKTracker(
+        grid_size=8, device="cpu", corr_radius=4, corr_rescue_level=2
+    )(pan)
     np.testing.assert_allclose(
-        auto(pan)["tracks"], always(pan)["tracks"], atol=1e-5
+        auto_out["tracks"], rescued["tracks"], atol=1e-5
     )
+    # The escalation must be a real recovery, not a lateral move.
+    q_plain = tracking_quality(plain_out, gt_tracks, gt_vis)
+    q_auto = tracking_quality(auto_out, gt_tracks, gt_vis)
+    assert q_auto["pts_within_2"] > q_plain["pts_within_2"] + 0.1
 
-    # And a clean scene's healthy occlusion marking must stay far from the
-    # threshold (no false engage).
-    clean, _, _ = make_tracking_scene(
-        num_frames=16, height=96, width=160, grid_size=8, seed=5
-    )
+    # And a clean scene's healthy occlusion marking stays far from the
+    # threshold (no false escalation).
+    clean, _, _ = make_tracking_scene(grid_size=8, seed=330)
     assert not PyramidalLKTracker._collapse_engage(classic(clean)["visible"])
 
 
