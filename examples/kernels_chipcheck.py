@@ -1,0 +1,162 @@
+"""Real-chip compile + parity + timing check for the queued Pallas kernels.
+
+Interpret mode validates none of Mosaic's constraints (block shapes, VMEM
+stack, lane layouts — CLAUDE.md), so every new kernel needs one run on the
+actual chip before its docs may claim it works. This script covers the two
+kernels whose real-chip checks were queued behind the round-3 tunnel
+outage (VERDICT r3 weak #4 + the round-4 template-bank extension):
+
+* ``tdspa.kernels.quant_matmul`` — fused dynamic-int8 matmul, checked at
+  the decoder's operating shapes (projection 1280->1280 and MLP
+  1280->2048 over the 512x129-token stream) against the XLA int8 oracle
+  (``tdspa.core.quant.int8_matmul``: same math, HBM-staged schedule), plus
+  steady-state timing vs that oracle and the bf16 matmul it would replace.
+* ``tdspa.kernels.matcher.cost_patches_multi_pallas`` — the template-BANK
+  cost-patch kernel (M templates contracted against one shared in-VMEM
+  patch), checked against the single-template kernel and the XLA oracle
+  (``tdspa.features.matcher._cost_patches``) on interior points, then
+  timed at the pipeline operating point (150 frames, 256x256x16 features,
+  4096 points, M=5).
+
+Timing discipline per CLAUDE.md: device-resident inputs, warmup with the
+same shapes, perturbed inputs for the timed call, host value fetch to
+sync (block_until_ready returns at enqueue through the tunnel), on-device
+lax.scan loops so dispatch overhead amortizes.
+"""
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdspa_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed_scan(fn, args, perturb, iters=20):
+    """Median-free single measurement of an on-device iteration loop."""
+
+    @jax.jit
+    def loop(*a):
+        def body(carry, _):
+            out = fn(*[x + carry * 0 if i == 0 else x
+                       for i, x in enumerate(a)])
+            probe = jnp.sum(out.astype(jnp.float32) * 1e-9)
+            return probe * 1e-30, probe
+
+        _, probes = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=iters
+        )
+        return probes
+
+    float(jnp.sum(loop(*args)))  # warmup/compile
+    timed = tuple(perturb(x) if i == 0 else x for i, x in enumerate(args))
+    t0 = time.perf_counter()
+    float(jnp.sum(loop(*timed)))
+    return (time.perf_counter() - t0) / iters
+
+
+def check_quant_matmul():
+    from tdspa.core.quant import int8_matmul
+    from tdspa.kernels.quant_matmul import quant_matmul, quant_matmul_fits
+
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for name, (m, k, n) in {
+        "proj_1280x1280": (512 * 129, 1280, 1280),
+        "mlp_1280x2048": (512 * 129, 1280, 2048),
+    }.items():
+        assert quant_matmul_fits(k, n), (k, n)
+        kx, kw = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        x = jax.device_put(jax.random.normal(kx, (m, k), jnp.float32))
+        w = jax.device_put(jax.random.normal(kw, (k, n), jnp.float32))
+
+        got = jax.jit(quant_matmul)(x, w)
+        want = jax.jit(int8_matmul)(x, w)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(want))) + 1e-30
+        rel = err / scale
+        # Same math (symmetric per-row/per-col int8, s32 accumulation);
+        # only the schedule differs. Tolerance covers f32 dequant-order
+        # differences, nothing more.
+        assert rel < 1e-5, f"{name}: rel err {rel} vs XLA int8 oracle"
+
+        t_fused = _timed_scan(
+            quant_matmul, (x, w), lambda v: v + 1e-3)
+        t_xla = _timed_scan(
+            int8_matmul, (x, w), lambda v: v + 1e-3)
+        t_bf16 = _timed_scan(
+            lambda a, b: jax.lax.dot(a.astype(jnp.bfloat16),
+                                     b.astype(jnp.bfloat16)),
+            (x, w), lambda v: v + 1e-3)
+        results[name] = dict(rel_err=rel, fused_ms=t_fused * 1e3,
+                             xla_int8_ms=t_xla * 1e3, bf16_ms=t_bf16 * 1e3)
+        print(f"quant_matmul {name}: rel_err={rel:.2e} "
+              f"fused={t_fused*1e3:.2f}ms xla_int8={t_xla*1e3:.2f}ms "
+              f"bf16={t_bf16*1e3:.2f}ms", flush=True)
+    return results
+
+
+def check_matcher_bank():
+    from tdspa.features.matcher import _cost_patches
+    from tdspa.kernels.matcher import (
+        cost_patches_multi_pallas,
+        cost_patches_pallas,
+    )
+
+    radius, dim = 4, 16
+    # --- parity at small-but-valid shapes, interior points only (border
+    # windows shift inward in the kernel vs edge-clamp in the oracle).
+    t, hf, wf, n, m = 8, 64, 64, 64, 3
+    key = jax.random.PRNGKey(1)
+    feats = jax.device_put(
+        jax.random.normal(key, (t, hf, wf, dim), jnp.float32))
+    tvecs = jax.device_put(
+        jax.random.normal(jax.random.fold_in(key, 1), (n, m, dim)))
+    lo, hi = radius + 2, hf - radius - 3
+    pos = jax.device_put(
+        jax.random.uniform(jax.random.fold_in(key, 2), (n, t, 2),
+                           minval=lo, maxval=hi))
+
+    got = jax.jit(cost_patches_multi_pallas, static_argnames="radius")(
+        feats, tvecs, pos, radius=radius)  # [N T M K2]
+    single = jax.jit(cost_patches_pallas, static_argnames="radius")(
+        feats, tvecs[:, 0], pos, radius=radius)  # [N T K2]
+    err_single = float(jnp.max(jnp.abs(got[:, :, 0] - single)))
+    assert err_single < 1e-5, f"bank M-slice vs single kernel: {err_single}"
+    for j in range(m):
+        # Oracle takes IMAGE px; img_to_feat(img, 2) = (img - 1) / 2.
+        want = _cost_patches(feats, tvecs[:, j], pos * 2.0 + 1.0,
+                             radius=radius, stride=2)
+        err = float(jnp.max(jnp.abs(got[:, :, j] - want)))
+        scale = float(jnp.max(jnp.abs(want))) + 1e-30
+        assert err / scale < 1e-4, f"template {j}: rel {err / scale}"
+    print(f"matcher bank parity OK (err_single={err_single:.2e})",
+          flush=True)
+
+    # --- timing at the pipeline operating point.
+    t, hf, wf, n = 150, 256, 256, 4096
+    feats = jax.device_put(
+        jax.random.normal(key, (t, hf, wf, dim), jnp.float32))
+    pos = jax.device_put(
+        jax.random.uniform(jax.random.fold_in(key, 3), (n, t, 2),
+                           minval=8.0, maxval=247.0))
+    results = {}
+    for bank_m in (1, 5):
+        tv = jax.device_put(jax.random.normal(
+            jax.random.fold_in(key, 4), (n, bank_m, dim)))
+        dt = _timed_scan(
+            lambda f, v, p: cost_patches_multi_pallas(f, v, p, radius=4),
+            (feats, tv, pos), lambda v: v + 1e-3, iters=10)
+        results[f"M{bank_m}"] = dt * 1e3
+        print(f"matcher bank M={bank_m}: {dt*1e3:.1f} ms "
+              f"(150f x 4096pts x 256^2x16 feats)", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    q = check_quant_matmul()
+    b = check_matcher_bank()
+    print("CHIPCHECK PASS", {"quant_matmul": q, "matcher_bank": b})
