@@ -106,10 +106,66 @@ def run_tpu(args):
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"params: {n_params/1e6:.1f}M")
 
+    def loss_fn_of(params, mbatch):
+        predictions = model.apply({"params": params}, mbatch)
+        return compute_loss_3d(predictions, mbatch)["total_loss"]
+
+    if args.host_accum:
+        # One dispatch PER MICROBATCH instead of one giant scan-of-grads
+        # program: identical math (the scan is sequential anyway), but each
+        # device program runs seconds instead of minutes. Measured need on
+        # this rig: the single-dispatch step (32-64 chained fwd+bwd) makes
+        # the tunnel's TPU worker crash mid-execution ("worker process
+        # crashed or restarted"), reproducibly, while every shorter program
+        # runs fine — a long-dispatch limit, not a memory or math problem.
+        @jax.jit
+        def micro_grads(params, seed_i):
+            mbatch = synth_microbatch(
+                jax.random.fold_in(jax.random.PRNGKey(0), seed_i), mb, n, n, t)
+            loss, grads = jax.value_and_grad(loss_fn_of)(params, mbatch)
+            den = jnp.maximum(jnp.sum(mbatch["query_tracks_visible"]), 1.0)
+            return jax.tree.map(lambda g: den * g, grads), den * loss, den
+
+        @jax.jit
+        def add_trees(acc, upd):
+            return jax.tree.map(jnp.add, acc, upd)
+
+        @jax.jit
+        def apply(state, grads, loss, den):
+            grads = jax.tree.map(lambda g: g / den, grads)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 step=state.step + 1), loss / den
+
+        def host_step(state, seed):
+            acc = None
+            for i in range(accum):
+                out = micro_grads(state.params, seed * accum + i)
+                acc = out if acc is None else add_trees(acc, out)
+            grads, loss, den = acc
+            return apply(state, grads, loss, den)
+
+        jstep = host_step
+        print("host-accumulation mode: one dispatch per microbatch")
+        t0 = time.perf_counter()
+        state, loss = jstep(state, 0)
+        l0 = float(loss)
+        print(f"step 0 (incl compile): {time.perf_counter()-t0:.1f}s "
+              f"loss={l0:.2f}")
+        losses = [l0]
+        for i in range(1, args.steps):
+            t0 = time.perf_counter()
+            state, loss = jstep(state, i)
+            li = float(loss)
+            print(f"step {i}: {time.perf_counter()-t0:.1f}s loss={li:.2f}")
+            losses.append(li)
+        _print_memory_and_losses(losses)
+        return
+
     def step(state, seed):
         def loss_fn(params, mbatch):
-            predictions = model.apply({"params": params}, mbatch)
-            return compute_loss_3d(predictions, mbatch)["total_loss"]
+            return loss_fn_of(params, mbatch)
 
         def micro(carry, i):
             grads_acc, loss_acc, den_acc = carry
@@ -144,6 +200,10 @@ def run_tpu(args):
         dt = time.perf_counter() - t0
         losses.append(li)
         print(f"step {i}: {dt:.1f}s loss={li:.2f}")
+    _print_memory_and_losses(losses)
+
+
+def _print_memory_and_losses(losses):
     try:
         stats = jax.local_devices()[0].memory_stats()
         peak = stats.get("peak_bytes_in_use", 0) / 2**30
@@ -211,6 +271,10 @@ def main():
     p.add_argument("--decoder_scan_chunk_size", type=int, default=256)
     p.add_argument("--encoder_scan_chunk_size", type=int, default=None)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--host_accum", action="store_true",
+                   help="one dispatch per microbatch (identical math; "
+                        "avoids multi-minute single dispatches that this "
+                        "rig's tunnel worker kills)")
     args = p.parse_args()
     print("devices:", jax.devices())
     if args.mode == "tpu":

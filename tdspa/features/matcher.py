@@ -743,9 +743,26 @@ def load_matcher(path: str):
 
 if __name__ == "__main__":
     # Regenerate the shipped matcher: python -m tdspa.features.matcher out.npz
-    import sys
+    # The template-memory variant: ... out.npz --bank 3
+    import argparse
 
-    out = sys.argv[1] if len(sys.argv) > 1 else default_matcher_path()
-    p, train_log = train_matcher(jax.random.PRNGKey(0))
-    save_matcher(out, p)
-    print(f"saved {out}; loss {train_log[0][1]:.3f} -> {train_log[-1][1]:.3f}")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default=default_matcher_path())
+    ap.add_argument("--bank", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--rot_rate_max_deg", type=float, default=0.0,
+                    help="camera-roll augmentation (deg/frame max; every "
+                         "third scene) — opt-in, keeps the shipped scene "
+                         "distribution unchanged at 0")
+    args = ap.parse_args()
+    scene_kwargs = {}
+    if args.rot_rate_max_deg > 0.0:
+        scene_kwargs["rot_rate_max"] = float(np.deg2rad(args.rot_rate_max_deg))
+    p, train_log = train_matcher(
+        jax.random.PRNGKey(args.seed), steps=args.steps, bank=args.bank,
+        scene_kwargs=scene_kwargs or None,
+    )
+    save_matcher(args.out, p)
+    print(f"saved {args.out} (bank={args.bank}); "
+          f"loss {train_log[0][1]:.3f} -> {train_log[-1][1]:.3f}")
