@@ -52,7 +52,16 @@ def main():
     ap.add_argument("weights", nargs="?", default="default")
     ap.add_argument("--json", default=None)
     ap.add_argument("--grid", type=int, default=12)
+    ap.add_argument("--regimes", default=None,
+                    help="comma-separated subset (fast sweeps); default all")
     args = ap.parse_args()
+    regimes = REGIMES
+    if args.regimes:
+        names = args.regimes.split(",")
+        unknown = [n for n in names if n not in REGIMES]
+        if unknown:
+            raise SystemExit(f"unknown regimes {unknown}; have {list(REGIMES)}")
+        regimes = {n: REGIMES[n] for n in names}
 
     from tdspa.eval.tracking_quality import tracking_quality
     from tdspa.features.matcher import estimate_degradation, load_matcher
@@ -71,7 +80,7 @@ def main():
     auto._auto_matcher_params = params
 
     report = {}
-    for name, (kw, seeds) in REGIMES.items():
+    for name, (kw, seeds) in regimes.items():
         accs = {f"{k}_{who}": [] for k in KEYS for who in ("lk", "m", "a")}
         gate = []
         for seed in seeds:

@@ -32,6 +32,13 @@ flags.DEFINE_bool(
     "(halves decoder elementwise/HBM traffic; ~0.6% relative output error "
     "vs the reference's f32 residual — see docs/BENCHMARKS.md)",
 )
+flags.DEFINE_float(
+    "depth_output_scale", 1.0,
+    "Run the DPT head's full-resolution tail at this scale and bilinearly "
+    "upsample the depth map (serving knob; approximate — the head's final "
+    "convs are nonlinear. 0.5 measured -21% depth-stage time; 1.0 = exact "
+    "reference head)",
+)
 flags.DEFINE_integer("num_query_points", 512, "Number of query points")
 flags.DEFINE_integer("num_support_tracks", 2048, "Number of support tracks")
 flags.DEFINE_integer("tracking_grid_size", 64, "Grid size for dense tracking")
@@ -125,7 +132,8 @@ def main(argv):
             from tdspa.features.depth import VideoDepthEstimator
 
             depth_provider = VideoDepthEstimator.from_checkpoint(
-                FLAGS.vda_model_path, encoder=FLAGS.vda_encoder
+                FLAGS.vda_model_path, encoder=FLAGS.vda_encoder,
+                output_scale=FLAGS.depth_output_scale,
             )
 
     pipeline = InferencePipeline(
@@ -144,6 +152,7 @@ def main(argv):
         projection_policy=FLAGS.projection_policy,
         quantize=FLAGS.quantize,
         residual_dtype=jnp.bfloat16 if FLAGS.bf16_residual else None,
+        depth_output_scale=FLAGS.depth_output_scale,
     )
     results = pipeline.run(FLAGS.video_path)
     save_results(results, FLAGS.output_dir)

@@ -353,6 +353,7 @@ class VideoDepthEstimator:
         vit_config: ViTConfig | None = None,
         head_cfg: dict | None = None,
         residual_dtype=jnp.float32,
+        output_scale: float = 1.0,
     ):
         cfg = dict(VDA_MODEL_CONFIGS[encoder])
         if head_cfg:
@@ -380,6 +381,17 @@ class VideoDepthEstimator:
         )
         self.layer_idxs = tuple(cfg["layer_idxs"])
         self.frame_chunk = frame_chunk
+        # output_scale < 1: run the DPT head's full-resolution tail (the
+        # align-corners upsample + head_conv2/3) at a reduced resolution and
+        # bilinearly upsample the 1-channel depth instead. The tail is
+        # HBM-bound (518^2 x 32ch activations per frame dwarf its FLOPs);
+        # measured 0.22 s of the 1.07 s stage at scale 0.5 (-21% stage,
+        # -6% e2e, docs/BENCHMARKS.md round 4). APPROXIMATION: head_conv2/3
+        # are nonlinear, so this is not numerics-equivalent to the
+        # reference head (inference serving knob; default 1.0 = exact).
+        if not (0.0 < output_scale <= 1.0):
+            raise ValueError(f"output_scale must be in (0, 1], got {output_scale}")
+        self.output_scale = float(output_scale)
         self.params = params
 
     @classmethod
@@ -494,9 +506,12 @@ class VideoDepthEstimator:
                 def one(g):
                     taps = self._taps(params["backbone"], g)
                     _, gh, gw, _ = g.shape
+                    s = self.output_scale
+                    head_hw = (max(int(round(gh * s)), 1),
+                               max(int(round(gw * s)), 1))
                     return self.head.apply(
                         {"params": params["head"]}, taps,
-                        (gh // p, gw // p), (gh, gw),
+                        (gh // p, gw // p), head_hw,
                     )
 
                 d = jax.lax.map(one, groups)

@@ -751,16 +751,26 @@ if __name__ == "__main__":
     ap.add_argument("--bank", type=int, default=0)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--iterations", type=int, default=2)
+    ap.add_argument("--occlusion_weight", type=float, default=4.0)
     ap.add_argument("--rot_rate_max_deg", type=float, default=0.0,
                     help="camera-roll augmentation (deg/frame max; every "
                          "third scene) — opt-in, keeps the shipped scene "
                          "distribution unchanged at 0")
+    ap.add_argument("--deform_amp_max", type=float, default=0.0,
+                    help="non-rigid warp augmentation (px max; every other "
+                         "scene) — the bank's learned selection needs "
+                         "deforming scenes to see when fresh templates beat "
+                         "frame 0; opt-in, 0 keeps the shipped distribution")
     args = ap.parse_args()
     scene_kwargs = {}
     if args.rot_rate_max_deg > 0.0:
         scene_kwargs["rot_rate_max"] = float(np.deg2rad(args.rot_rate_max_deg))
+    if args.deform_amp_max > 0.0:
+        scene_kwargs["deform_amp_max"] = args.deform_amp_max
     p, train_log = train_matcher(
         jax.random.PRNGKey(args.seed), steps=args.steps, bank=args.bank,
+        iterations=args.iterations, occlusion_weight=args.occlusion_weight,
         scene_kwargs=scene_kwargs or None,
     )
     save_matcher(args.out, p)

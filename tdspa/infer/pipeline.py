@@ -205,6 +205,7 @@ class InferencePipeline:
         projection_policy: str = "error",
         quantize: bool = False,
         residual_dtype=None,
+        depth_output_scale: float = 1.0,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -224,6 +225,9 @@ class InferencePipeline:
         # Applied to the model's transformer stacks AND the lazily-built
         # DINOv2/VDA backbones (explicitly-passed providers keep their own).
         self.residual_dtype = residual_dtype or jnp.float32
+        # < 1.0 runs the DPT head's HBM-bound full-res tail at reduced
+        # resolution (approximate; see VideoDepthEstimator.output_scale).
+        self.depth_output_scale = depth_output_scale
         self.model = model or TrackAutoEncoder3D(
             num_output_frames=num_output_frames,
             use_dino=use_dino,
@@ -297,6 +301,7 @@ class InferencePipeline:
             self._depth_provider = VideoDepthEstimator(
                 encoder=self.vda_encoder,
                 residual_dtype=self.residual_dtype,
+                output_scale=self.depth_output_scale,
             )
         return self._depth_provider
 
