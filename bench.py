@@ -161,6 +161,10 @@ def measure_e2e():
         if os.environ.get("BENCH_RESID", "f32") == "bf16"
         else None
     )
+    # BENCH_DEPTH_SCALE=0.5: run the DPT head's HBM-bound full-res tail at
+    # half resolution (approximate serving knob — see VideoDepthEstimator.
+    # output_scale). Default 1.0 keeps the exact reference head.
+    depth_scale = float(os.environ.get("BENCH_DEPTH_SCALE", "1.0"))
 
     def make_pipeline(chunk):
         return InferencePipeline(
@@ -176,6 +180,7 @@ def measure_e2e():
             depth_provider=VideoDepthEstimator(
                 encoder="vitb",
                 residual_dtype=resid or jnp.float32,
+                output_scale=depth_scale,
             ),
             upload_chunk_frames=chunk,
             residual_dtype=resid,
