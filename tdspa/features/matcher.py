@@ -28,6 +28,14 @@ LEARNED one, trained on synthetic scenes with exact ground truth
   the per-template cost patches. Everything stays one batched program —
   no per-frame recurrence; the expensive patch sampling is shared across
   templates on the XLA path.
+* Motion-field RESCUE (round 4): after refinement, points whose
+  initialization was beyond the head's search reach stay lost — and the
+  displacement fields that cause that (deformation, rotation, fast pan)
+  are spatially smooth. ``_field_candidate`` interpolates each lost
+  point's position from its confident neighbors' displacements (IDW over
+  frame-0 positions, two matmuls), the candidate is re-refined, and the
+  matcher's own visibility logit adjudicates the switch
+  (``refine_tracks(..., rescue=1)``, the default).
 * ``train_matcher``: self-supervised-style training driver (the scenes are
   synthetic, so supervision is free): given a ground-truth position
   perturbed by up to ``radius`` px, predict the correction and the
@@ -275,6 +283,56 @@ def _build_bank(sampled, vis_logit, template_vec0, bank: int):
     return jnp.stack(vecs, axis=1), jnp.stack(anchors, axis=1)
 
 
+# Motion-field rescue operating point (swept on held-out scenes,
+# docs/BENCHMARKS.md "Motion-field rescue"): rescue a point only where its
+# refined visibility logit is below RESCUE_GATE AND the re-refined
+# geometric candidate's logit beats it by RESCUE_MARGIN; a rescued point's
+# visibility claim is weaker evidence (it was re-seated at a guessed
+# location), so its logit is demoted by RESCUE_PENALTY — position keeps
+# the better estimate either way, occlusion recall stays intact.
+RESCUE_GATE = 0.0
+RESCUE_MARGIN = 1.0
+RESCUE_PENALTY = 2.5
+# IDW confidence threshold / distance softening (feature of the scene
+# scale: 25 px^2 ~ a 5 px near-field plateau so the nearest neighbor
+# doesn't dominate the vote).
+RESCUE_CONF = 1.0
+RESCUE_SOFTEN = 25.0
+
+
+def _field_candidate(x0, pos, vis_logit):
+    """IDW-interpolated geometric candidate positions. [N T 2].
+
+    The displacement fields that defeat a local matcher (deformation,
+    rotation, fast pan: the LK initialization lands > search-reach away)
+    are spatially SMOOTH — so a lost point's true location is well
+    predicted by its confident neighbors' displacements. Inverse-distance
+    weights over the frame-0 positions, masked per frame by confidence
+    (vis_logit > RESCUE_CONF), interpolate every point's displacement;
+    the caller re-refines this single motion-consistent candidate and
+    adjudicates with the matcher's own visibility logit. Occluded points
+    stay occluded: the interpolated location genuinely doesn't match, so
+    the candidate's logit never clears the margin.
+
+    MXU formulation: the per-frame confidence masking folds into two
+    matmuls ([N N] @ [N T*2] and [N N] @ [N T]) instead of a vmapped
+    per-frame mask — one fused pair of contractions on TPU.
+
+    x0: [N 2] frame-0 positions; pos: [N T 2]; vis_logit: [N T].
+    """
+    n, t = pos.shape[:2]
+    disp = pos - x0[:, jnp.newaxis, :]                       # [N T 2]
+    conf = (vis_logit > RESCUE_CONF).astype(jnp.float32)     # [N T]
+    d2 = jnp.sum((x0[:, jnp.newaxis] - x0[jnp.newaxis]) ** 2, -1)
+    w = 1.0 / (d2 + RESCUE_SOFTEN)
+    # Zero self-weight: a lost point must not vote for itself.
+    w = w * (1.0 - jnp.eye(n, dtype=w.dtype))                # [N N]
+    num = (w @ (conf[..., jnp.newaxis] * disp).reshape(n, t * 2))
+    den = w @ conf + 1e-6                                    # [N T]
+    dhat = num.reshape(n, t, 2) / den[..., jnp.newaxis]
+    return x0[:, jnp.newaxis, :] + dhat
+
+
 def _run_matcher(weights, head, cost_multi, feats, template_vec, tracks,
                  stride: int, iterations: int, bank: int):
     """The (two-)phase refinement shared by runtime and training.
@@ -321,7 +379,8 @@ def _run_matcher(weights, head, cost_multi, feats, template_vec, tracks,
 
 def refine_tracks(params, video, tracks, iterations: int = 2,
                   template_frame=None, template_pos=None,
-                  refine_first: bool = False, backend: str = "auto"):
+                  refine_first: bool = False, backend: str = "auto",
+                  rescue: int = 1):
     """Refine per-frame positions with the learned matcher.
 
     Args:
@@ -340,6 +399,14 @@ def refine_tracks(params, video, tracks, iterations: int = 2,
         'pallas' | 'pallas_interpret'. The XLA cost sampling is
         gather-bound and TPU-hostile; the kernel is interior-exact (border
         windows shift inward, see tdspa/kernels/matcher.py).
+      rescue: motion-field rescue rounds (default 1; 0 disables). Each
+        round interpolates lost points' positions from confident
+        neighbors' displacements (_field_candidate), re-refines that
+        geometric candidate, and switches only where the matcher's own
+        visibility logit clearly prefers it. Recovers points whose
+        initialization was beyond the search reach (deformation /
+        rotation / fast pan); measured no-op on clean content. One round
+        is the swept optimum.
 
     Returns:
       (tracks [N T 2], vis_logits [N T]).
@@ -359,7 +426,7 @@ def refine_tracks(params, video, tracks, iterations: int = 2,
         weights, jnp.asarray(video), jnp.asarray(tracks, jnp.float32),
         jnp.asarray(template_frame), jnp.asarray(template_pos, jnp.float32),
         dim, radius, hidden, stride, fhidden, bank, iterations, refine_first,
-        backend,
+        backend, rescue,
     )
 
 
@@ -388,12 +455,12 @@ def _make_cost_multi(feats, radius: int, stride: int, backend: str):
     jax.jit,
     static_argnames=(
         "dim", "radius", "hidden", "stride", "fhidden", "bank", "iterations",
-        "refine_first", "backend",
+        "refine_first", "backend", "rescue",
     ),
 )
 def _refine_tracks_jit(params, video, tracks, template_frame, template_pos,
                        dim, radius, hidden, stride, fhidden, bank, iterations,
-                       refine_first, backend="xla"):
+                       refine_first, backend="xla", rescue=0):
     head = MatcherHead(radius=radius, hidden=hidden)
     fnet = MatcherFeatureNet(dim=dim, stride=stride, hidden=fhidden)
     feats = fnet.apply({"params": params["feature"]}, _to_gray01(video))
@@ -409,6 +476,21 @@ def _refine_tracks_jit(params, video, tracks, template_frame, template_pos,
         params, head, cost_multi, feats, template_vec, tracks,
         stride, iterations, bank,
     )
+    for _ in range(rescue):
+        cand = _field_candidate(tracks[:, 0], pos, vis)
+        pos2, vis2, _ = _run_matcher(
+            params, head, cost_multi, feats, template_vec, cand,
+            stride, iterations, bank,
+        )
+        lost = vis < RESCUE_GATE
+        # Position adopts the candidate on ANY logit improvement: the
+        # original estimate there is a lost point's bad lock, so the
+        # better-verified location strictly helps localization metrics
+        # while the visibility decision stays untouched below the margin.
+        switch_pos = lost & (vis2 > vis)
+        switch_vis = lost & (vis2 > vis + RESCUE_MARGIN)
+        pos = jnp.where(switch_pos[..., jnp.newaxis], pos2, pos)
+        vis = jnp.where(switch_vis, vis2 - RESCUE_PENALTY, vis)
     if not refine_first:
         # Frame 0 is the template: identity position, surely visible.
         pos = jnp.concatenate([tracks[:, :1], pos[:, 1:]], axis=1)

@@ -48,7 +48,9 @@ def test_refine_shapes_and_frame0_invariant():
     tracks = np.random.default_rng(1).uniform(4, 28, (7, 5, 2)).astype(
         np.float32
     )
-    pos, vis = refine_tracks(params, video, tracks)
+    # rescue=0: the motion-field rescue exists to move points BEYOND the
+    # refinement reach, which would void the offset bound below.
+    pos, vis = refine_tracks(params, video, tracks, rescue=0)
     assert pos.shape == (7, 5, 2) and vis.shape == (7, 5)
     # Frame 0 defines the template: position untouched, visibility pinned.
     np.testing.assert_array_equal(np.asarray(pos[:, 0]), tracks[:, 0])
@@ -426,3 +428,56 @@ def test_estimate_degradation_not_fooled_by_drift_or_cut():
 
     flick, _, _ = make_tracking_scene(seed=0, gain_flicker=0.15)
     assert estimate_degradation(flick)["degraded"]
+
+
+def test_field_candidate_interpolates_smooth_field():
+    """_field_candidate: a lost point's position is recovered from its
+    confident neighbors' displacements when the field is smooth (affine
+    here — the regime rescue targets: deformation/rotation/pan)."""
+    from tdspa.features.matcher import _field_candidate
+
+    rng = np.random.default_rng(0)
+    n, t = 40, 6
+    x0 = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    aff = np.array([[1.02, 0.01], [-0.01, 0.98]], np.float32)
+    disp = x0 @ aff.T - x0
+    ramp = np.arange(1, t + 1, dtype=np.float32)[None, :, None] / t
+    pos = jnp.asarray(x0[:, None, :] + disp[:, None, :] * ramp)
+    vis = jnp.full((n, t), 3.0).at[0].set(-5.0)  # point 0 is lost
+    cand = _field_candidate(jnp.asarray(x0), pos, vis)
+    # The lost point's candidate lands on the true field (its own bogus
+    # displacement must not pollute the vote — self-weight is zero).
+    assert float(jnp.abs(cand[0] - pos[0]).max()) < 1.5
+    # Confident points' candidates also sit on the field (consistency).
+    assert float(jnp.abs(cand[1:] - pos[1:]).max()) < 1.5
+
+
+def test_rescue_recovers_far_initializations(shipped):
+    """Motion-field rescue: initializations beyond the head's search reach
+    (> 2*radius*stride px off) are unrecoverable by refinement alone
+    (measured 0% for >16 px, docs/BENCHMARKS.md round 4); the rescue's
+    geometric candidate + re-refine recovers most of them, and unperturbed
+    points are untouched."""
+    video, gt_tracks, gt_vis = make_tracking_scene(seed=7, pan=(3, 1))
+    n = gt_tracks.shape[0]
+    bad = np.zeros(n, bool)
+    bad[:: 4] = True  # every 4th point starts ~20 px off
+    init = gt_tracks.copy()
+    init[bad, 1:] += np.array([14.0, -14.0], np.float32)
+    vis_w = gt_vis[..., 0] if gt_vis.ndim == 3 else gt_vis
+
+    def err_frac_within2(pos):
+        err = np.linalg.norm(np.asarray(pos) - gt_tracks, axis=-1)
+        ok = (err <= 2.0) & (vis_w > 0.5)
+        return [
+            ok[sel].sum() / np.maximum((vis_w[sel] > 0.5).sum(), 1)
+            for sel in (bad, ~bad)
+        ]
+
+    p0, _ = refine_tracks(shipped, video, init, rescue=0)
+    p1, _ = refine_tracks(shipped, video, init, rescue=1)
+    bad0, good0 = err_frac_within2(p0)
+    bad1, good1 = err_frac_within2(p1)
+    assert bad0 < 0.3, (bad0, good0)          # lost without rescue
+    assert bad1 > bad0 + 0.4, (bad0, bad1)    # rescue recovers them
+    assert good1 >= good0 - 0.02, (good0, good1)  # others untouched
