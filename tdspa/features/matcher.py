@@ -775,16 +775,20 @@ def estimate_degradation(video) -> dict:
 def default_matcher_path() -> str:
     """Path of the shipped pretrained matcher (tdspa/assets).
 
-    Trained with ``train_matcher(jax.random.PRNGKey(0))`` (the defaults
-    above: stride 2, dim 16, 1500 steps, 2-iteration unroll) — regenerate
-    with::
+    Template-bank model (bank=3), trained round 4 on 48 24-frame scenes
+    with deformation (amp <= 5 px) and camera-roll (<= 2.5 deg/frame)
+    augmentation, occlusion weight 8, 4000 steps — regenerate with::
 
         python -m tdspa.features.matcher /path/out.npz
 
-    Measured on held-out degraded scenes (noise 15, contrast 0.5, flicker
-    0.15; seeds 100-102; threshold 0.5): pts_within_2 0.90-0.95 (classical
-    0.71-0.74), visibility accuracy 0.89-0.91 (classical 0.51-0.55),
-    occlusion recall 0.77-0.89, visible recall 0.90-0.91.
+    (the __main__ defaults below ARE this recipe).
+
+    Measured with the default motion-field rescue over the full
+    qualification family (examples/matcher_benchmark.py, 2026-08-19 —
+    docs/BENCHMARKS.md "Shipped round-4 matcher"): degraded pts_within_2
+    0.942 (classical 0.728), deform 0.915 (0.544), rot_strong 0.513
+    (0.438), blur_noise 0.905 (0.883); forced-on clean 0.956 vs 0.952 —
+    the matcher no longer degrades clean content.
     """
     import os
 
@@ -825,27 +829,31 @@ def load_matcher(path: str):
 
 if __name__ == "__main__":
     # Regenerate the shipped matcher: python -m tdspa.features.matcher out.npz
-    # The template-memory variant: ... out.npz --bank 3
+    # (defaults = the round-4 shipped recipe; see default_matcher_path).
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("out", nargs="?", default=default_matcher_path())
-    ap.add_argument("--bank", type=int, default=0)
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--bank", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--iterations", type=int, default=2)
-    ap.add_argument("--occlusion_weight", type=float, default=4.0)
-    ap.add_argument("--rot_rate_max_deg", type=float, default=0.0,
+    ap.add_argument("--num_scenes", type=int, default=48)
+    ap.add_argument("--num_frames", type=int, default=24,
+                    help="training-scene length; longer scenes teach the "
+                         "bank's selection about late-frame template "
+                         "staleness (the round-4 deform limiter)")
+    ap.add_argument("--occlusion_weight", type=float, default=8.0)
+    ap.add_argument("--rot_rate_max_deg", type=float, default=2.5,
                     help="camera-roll augmentation (deg/frame max; every "
-                         "third scene) — opt-in, keeps the shipped scene "
-                         "distribution unchanged at 0")
-    ap.add_argument("--deform_amp_max", type=float, default=0.0,
+                         "third scene); 0 disables")
+    ap.add_argument("--deform_amp_max", type=float, default=5.0,
                     help="non-rigid warp augmentation (px max; every other "
                          "scene) — the bank's learned selection needs "
                          "deforming scenes to see when fresh templates beat "
-                         "frame 0; opt-in, 0 keeps the shipped distribution")
+                         "frame 0; 0 disables")
     args = ap.parse_args()
-    scene_kwargs = {}
+    scene_kwargs = {"num_frames": args.num_frames}
     if args.rot_rate_max_deg > 0.0:
         scene_kwargs["rot_rate_max"] = float(np.deg2rad(args.rot_rate_max_deg))
     if args.deform_amp_max > 0.0:
@@ -853,7 +861,7 @@ if __name__ == "__main__":
     p, train_log = train_matcher(
         jax.random.PRNGKey(args.seed), steps=args.steps, bank=args.bank,
         iterations=args.iterations, occlusion_weight=args.occlusion_weight,
-        scene_kwargs=scene_kwargs or None,
+        num_scenes=args.num_scenes, scene_kwargs=scene_kwargs,
     )
     save_matcher(args.out, p)
     print(f"saved {args.out} (bank={args.bank}); "

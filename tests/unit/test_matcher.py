@@ -112,24 +112,25 @@ def test_shipped_matcher_beats_classical_under_degradation(shipped, seed):
     """On degraded held-out scenes the learned matcher must beat LK+NCC on
     localization and visibility classification (the classical appearance
     model collapses there: it marks ~half the visible points occluded).
-    Measured (shipped stride-2 weights, th=0.5): pts2 0.93/0.90 vs
-    0.73/0.71; acc 0.89/0.90 vs 0.51/0.51; occ recall 0.80/0.89; visible
-    recall 0.90/0.90.
+    Measured (round-4 shipped bank-3 weights + motion-field rescue,
+    th=0.5, 3-seed means in docs/BENCHMARKS.md "Shipped round-4
+    matcher"): pts2 0.942 vs 0.728; acc 0.888 vs 0.520; occ recall
+    0.848; visible recall 0.891.
     """
     video, gt_tracks, gt_vis = make_tracking_scene(seed=seed, **DEGRADE)
     base_tracker = PyramidalLKTracker(grid_size=12, device="cpu")
     base = tracking_quality(base_tracker(video), gt_tracks, gt_vis)
     m_tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher=shipped)
     ours = tracking_quality(m_tracker(video), gt_tracks, gt_vis)
-    assert ours["pts_within_2"] > 0.85, (base, ours)
-    assert ours["pts_within_2"] > base["pts_within_2"] + 0.1, (base, ours)
+    assert ours["pts_within_2"] > 0.9, (base, ours)
+    assert ours["pts_within_2"] > base["pts_within_2"] + 0.15, (base, ours)
     assert ours["visibility_accuracy"] > 0.85, (base, ours)
     assert ours["visibility_accuracy"] > base["visibility_accuracy"] + 0.25, (
         base,
         ours,
     )
     assert ours["visible_recall"] > 0.85, (base, ours)
-    assert ours["occlusion_recall"] > 0.7, (base, ours)
+    assert ours["occlusion_recall"] > 0.75, (base, ours)
 
 
 def test_chunked_matcher_matches_unchunked(shipped, monkeypatch):
@@ -175,7 +176,9 @@ def test_shipped_matcher_does_not_break_clean_scene(shipped):
     video, gt_tracks, gt_vis = make_tracking_scene(seed=3)
     tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher=shipped)
     q = tracking_quality(tracker(video), gt_tracks, gt_vis)
-    assert q["pts_within_2"] > 0.9, q
+    # Round-4 weights + rescue measure 0.956 forced-on vs 0.952 classical
+    # — forcing the matcher on clean content no longer costs localization.
+    assert q["pts_within_2"] > 0.93, q
     assert q["visibility_accuracy"] > 0.85, q
 
 
@@ -184,11 +187,12 @@ def test_shipped_matcher_handles_deforming_content(shipped, seed):
     """Non-rigid warps (smooth analytic deformation field, exact GT —
     tdspa/utils/synthetic_video.py) on top of degradation: the learned
     matcher must keep tracking where classical LK+NCC collapses (the
-    CoTracker-class deforming-content regime). Measured (shipped rigid-
-    trained weights): pts2 0.83/0.86 vs 0.54/0.54 classical, visibility
-    accuracy 0.81/0.83 vs 0.40/0.37 (docs/BENCHMARKS.md "Non-rigid
-    content"; deformation-augmented retraining measured neutral — see
-    make_training_scenes)."""
+    CoTracker-class deforming-content regime). Measured (round-4 shipped
+    bank-3 weights + motion-field rescue): pts2 0.915 vs 0.544 classical
+    (2-seed means), visibility accuracy 0.801 vs 0.385, occlusion recall
+    0.932 (docs/BENCHMARKS.md "Shipped round-4 matcher" — the VERDICT-r3
+    #5 target of >= 0.9 deform pts2, met by template bank + longer
+    training scenes + rescue)."""
     video, gt_tracks, gt_vis = make_tracking_scene(
         seed=seed, deform_amp=5.0, **DEGRADE
     )
@@ -196,13 +200,13 @@ def test_shipped_matcher_handles_deforming_content(shipped, seed):
     base = tracking_quality(base_tracker(video), gt_tracks, gt_vis)
     m_tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher=shipped)
     ours = tracking_quality(m_tracker(video), gt_tracks, gt_vis)
-    assert ours["pts_within_2"] > 0.75, (base, ours)
-    assert ours["pts_within_2"] > base["pts_within_2"] + 0.15, (base, ours)
+    assert ours["pts_within_2"] > 0.88, (base, ours)
+    assert ours["pts_within_2"] > base["pts_within_2"] + 0.3, (base, ours)
     assert ours["visibility_accuracy"] > 0.75, (base, ours)
     assert ours["visibility_accuracy"] > base["visibility_accuracy"] + 0.3, (
         base, ours,
     )
-    assert ours["occlusion_recall"] > 0.7, (base, ours)
+    assert ours["occlusion_recall"] > 0.85, (base, ours)
 
 
 def test_estimate_degradation_regimes():
