@@ -185,6 +185,48 @@ def test_rotation_scene_ground_truth_is_exact_affine():
     assert np.abs(tr[:, -1] - expect).max() < 1e-3
 
 
+def test_strong_rotation_ground_truth_is_exact_affine():
+    """The rot_strong operating point (2.5 deg/frame, 24 frames -> 57.5
+    deg cumulative). The plain fixed-point GT solve's contraction factor
+    for roll is 2 sin(theta/2) ~ 0.96 here: 12 rounds left ~45 px median
+    GT error on late frames (GT inconsistent with the rendered video —
+    measured round 4). The exact-affine-preconditioned solve must be
+    exact at ANY angle the renderer supports."""
+    v, tr, vis = make_tracking_scene(
+        seed=310, num_sprites=0, rot_rate=np.deg2rad(2.5), num_frames=24,
+    )
+    c = np.array([128.0, 80.0])
+    for f in (8, 16, 20, 23):
+        th = np.deg2rad(2.5) * f
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        expect = c + (tr[:, 0] - c) @ R.T
+        assert np.abs(tr[:, f] - expect).max() < 1e-3, f
+
+
+def test_zoom_roll_combined_ground_truth_is_exact_affine():
+    """Zoom and roll together: the combined affine map
+    x -> c + s_t R(theta_t)(x - c)... is NOT what the additive
+    displacement fields compose to — the renderer adds D_zoom + D_rot,
+    giving backward map x - D = c + ((1/s)I + R(-th) - I)(x - c); the GT
+    must invert exactly THAT map (match what the renderer does, not an
+    idealized composition)."""
+    zr, rr = 0.01, np.deg2rad(2.0)
+    v, tr, vis = make_tracking_scene(
+        seed=2, num_sprites=0, zoom_rate=zr, rot_rate=rr, num_frames=20,
+    )
+    c = np.array([128.0, 80.0])
+    for f in (5, 12, 19):
+        s_t = 1.0 + zr * f
+        th = rr * f
+        rot_back = np.array(
+            [[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]]
+        )
+        m = (1.0 / s_t) * np.eye(2) + rot_back - np.eye(2)
+        # forward map = inverse of the backward map
+        expect = c + (tr[:, 0] - c) @ np.linalg.inv(m).T
+        assert np.abs(tr[:, f] - expect).max() < 1e-3, f
+
+
 @pytest.mark.parametrize(
     "kw",
     [dict(zoom_rate=0.02), dict(rot_rate=0.0174533)],  # 2%/frame; 1 deg/frame
