@@ -165,6 +165,10 @@ def measure_e2e():
     # half resolution (approximate serving knob — see VideoDepthEstimator.
     # output_scale). Default 1.0 keeps the exact reference head.
     depth_scale = float(os.environ.get("BENCH_DEPTH_SCALE", "1.0"))
+    # BENCH_FAST_GELU=1: tanh GELU in the DINO/VDA ViT backbones
+    # (serving knob; the exact-erf GELU is VPU-bound — measured -17.5%
+    # on the DINO stage). Default 0 keeps exact HF numerics.
+    fast_gelu = os.environ.get("BENCH_FAST_GELU", "0") == "1"
 
     def make_pipeline(chunk):
         return InferencePipeline(
@@ -181,9 +185,11 @@ def measure_e2e():
                 encoder="vitb",
                 residual_dtype=resid or jnp.float32,
                 output_scale=depth_scale,
+                gelu_approximate=fast_gelu,
             ),
             upload_chunk_frames=chunk,
             residual_dtype=resid,
+            gelu_approximate=fast_gelu,
         )
 
     def median3(run, prep=lambda v: v):

@@ -354,6 +354,7 @@ class VideoDepthEstimator:
         head_cfg: dict | None = None,
         residual_dtype=jnp.float32,
         output_scale: float = 1.0,
+        gelu_approximate: bool = False,
     ):
         cfg = dict(VDA_MODEL_CONFIGS[encoder])
         if head_cfg:
@@ -362,8 +363,11 @@ class VideoDepthEstimator:
         self.vit_config = vit_config or ViTConfig.preset(encoder)
         # residual_dtype=bf16: backbone residual stream in bf16 (same knob
         # as the model stacks; taps are final-layernormed back to f32).
+        # gelu_approximate: tanh GELU in the backbone blocks (serving
+        # knob — see tdspa/features/vit.py::_Block).
         self.backbone = Dinov2Flax(
-            config=self.vit_config, dtype=dtype, residual_dtype=residual_dtype
+            config=self.vit_config, dtype=dtype, residual_dtype=residual_dtype,
+            gelu_approximate=gelu_approximate,
         )
         motion_structure = motion_structure or {}
         self.head = DPTHead(

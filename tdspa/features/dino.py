@@ -58,13 +58,17 @@ class DinoFeatureExtractor:
         # per-chunk calls pad nothing (16 padded 40 -> 48, a 13% waste).
         frame_chunk: int = 8,
         residual_dtype=jnp.float32,
+        gelu_approximate: bool = False,
     ):
         preset = _NAME_TO_PRESET.get(model_name, "vitb")
         self.config = ViTConfig.preset(preset)
         # residual_dtype=bf16: ViT residual stream in bf16 (same knob as
         # the model stacks; final layernorm emits f32 features either way).
+        # gelu_approximate: tanh GELU, -17.5% stage time (serving knob —
+        # see tdspa/features/vit.py::_Block).
         self.model = Dinov2Flax(
-            config=self.config, dtype=dtype, residual_dtype=residual_dtype
+            config=self.config, dtype=dtype, residual_dtype=residual_dtype,
+            gelu_approximate=gelu_approximate,
         )
         self.frame_chunk = frame_chunk
         if params is None:

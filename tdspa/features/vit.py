@@ -137,6 +137,11 @@ class _Block(nn.Module):
     # measured there at +22% on the decode stack; norm statistics stay
     # f32 via flax's internal upcast).
     residual_dtype: Any = jnp.float32
+    # tanh-GELU instead of HF's exact-erf GELU. The erf is VPU-bound at
+    # these shapes: measured -17.5% on the 150-frame ViT-B DINO stage
+    # (0.622 -> 0.513 s, docs/BENCHMARKS.md round 4). ~1e-3 relative
+    # activation delta (serving knob; default False = exact HF numerics).
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -160,7 +165,8 @@ class _Block(nn.Module):
             epsilon=c.layer_norm_eps, dtype=self.residual_dtype, name="norm2"
         )(x)
         h = nn.Dense(c.hidden_size * c.mlp_ratio, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=False)  # HF uses exact-erf GELU
+        # HF uses exact-erf GELU; approximate=True is the serving knob.
+        h = nn.gelu(h, approximate=self.gelu_approximate)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
         h = h * self.param(
             "layer_scale2",
@@ -201,6 +207,7 @@ class Dinov2Flax(nn.Module):
     config: Any
     dtype: Any = jnp.float32
     residual_dtype: Any = jnp.float32  # see _Block.residual_dtype
+    gelu_approximate: bool = False  # see _Block.gelu_approximate
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -235,7 +242,8 @@ class Dinov2Flax(nn.Module):
         for i in range(c.num_layers):
             x = _Block(
                 config=c, dtype=self.dtype,
-                residual_dtype=self.residual_dtype, name=f"layer_{i}",
+                residual_dtype=self.residual_dtype,
+                gelu_approximate=self.gelu_approximate, name=f"layer_{i}",
             )(x)
         # Final norm emits f32 regardless of the residual dtype: the token
         # features feed projections / the DPT head at a stable interface.

@@ -206,6 +206,7 @@ class InferencePipeline:
         quantize: bool = False,
         residual_dtype=None,
         depth_output_scale: float = 1.0,
+        gelu_approximate: bool = False,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -228,6 +229,10 @@ class InferencePipeline:
         # < 1.0 runs the DPT head's HBM-bound full-res tail at reduced
         # resolution (approximate; see VideoDepthEstimator.output_scale).
         self.depth_output_scale = depth_output_scale
+        # tanh GELU in the lazily-built DINOv2/VDA backbones (-17.5%
+        # measured on the DINO stage; ~1e-3 relative activation delta —
+        # serving knob, see tdspa/features/vit.py::_Block).
+        self.gelu_approximate = gelu_approximate
         self.model = model or TrackAutoEncoder3D(
             num_output_frames=num_output_frames,
             use_dino=use_dino,
@@ -290,6 +295,7 @@ class InferencePipeline:
             self._dino_extractor = DinoFeatureExtractor(
                 model_name=self.dino_model_name,
                 residual_dtype=self.residual_dtype,
+                gelu_approximate=self.gelu_approximate,
             )
         return self._dino_extractor
 
@@ -302,6 +308,7 @@ class InferencePipeline:
                 encoder=self.vda_encoder,
                 residual_dtype=self.residual_dtype,
                 output_scale=self.depth_output_scale,
+                gelu_approximate=self.gelu_approximate,
             )
         return self._depth_provider
 
