@@ -30,8 +30,10 @@ import jax
 import jax.numpy as jnp
 
 
-def _to_gray(video):  # [T H W 3] -> [T H W] float32 in [0,1]
+def _to_gray(video):  # [T H W 3] (or pre-gray [T H W]) -> [T H W] f32 in [0,1]
     v = jnp.asarray(video, jnp.float32) / 255.0
+    if v.ndim == 3:  # already luma (e.g. the stabilized re-track path)
+        return v
     return v[..., 0] * 0.299 + v[..., 1] * 0.587 + v[..., 2] * 0.114
 
 
