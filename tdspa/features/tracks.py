@@ -27,6 +27,16 @@ from __future__ import annotations
 from absl import logging
 import numpy as np
 
+# Stabilized-re-track escalation gate (auto mode): engage when the global
+# motion fitted from the classical pass's own tracks shows a cumulative
+# roll no translation-template tracker can follow, AND the fit is
+# credible. Measured on the synthetic scene zoo (docs/BENCHMARKS.md
+# round 4): rot_strong 57 deg / median inlier 0.74-0.83 (engage);
+# rot_slow 14.5 deg, zoom+roll 25.8 deg, zoom 0.3 deg, fast pan median
+# inlier 0.05 (all stay off — rescue/matcher already handle those).
+STAB_MIN_ANGLE_DEG = 30.0
+STAB_MIN_INLIER = 0.5
+
 
 def make_query_grid(height: int, width: int, grid_size: int) -> np.ndarray:
     """[grid_size^2, 2] (x, y) half-pixel-centered query grid at frame 0.
@@ -200,6 +210,76 @@ class PyramidalLKTracker:
             return rescued_tracks, rescued_visible, drop
         return tracks, visible, 0.0
 
+    def _maybe_stabilize(self, tracks):
+        """Auto-mode escalation gate for strong camera roll.
+
+        Fits the per-frame global similarity from the classical pass's
+        own tracks (tdspa/ops/warp.py — consecutive-frame complex
+        least-squares, robust, composed) and returns the fit when the
+        cumulative rotation exceeds STAB_MIN_ANGLE_DEG with credible
+        support, else None. Rotated templates defeat BOTH the LK window
+        match and the matcher's axis-aligned cost patches (measured:
+        rot_strong pts-within-2 0.49 classical / 0.53 matcher), so the
+        fix is geometric: counter-warp the video into the frame-0
+        orientation, re-track there, map positions back through the
+        transform. Two host scalar fetches when auto mode is on.
+        """
+        if not isinstance(self.matcher, str):
+            return None
+        import jax.numpy as jnp
+
+        from tdspa.ops.warp import fit_similarity_sequence
+
+        fit = fit_similarity_sequence(jnp.asarray(tracks))
+        max_angle = float(jnp.max(jnp.abs(fit["angle_deg"])))
+        med_inl = float(jnp.median(fit["inlier_frac"][1:]))
+        if max_angle < STAB_MIN_ANGLE_DEG or med_inl < STAB_MIN_INLIER:
+            return None
+        return fit
+
+    def _stabilized_result(self, video, fit):
+        """Counter-warp to frame-0 orientation, re-track, map back.
+
+        The re-track runs the FULL adaptive policy (rescue + matcher
+        auto) on the stabilized luma — residual motion there is small
+        and translation-like, exactly the regime the existing stack
+        wins on (measured: rot_strong 0.53 -> ~0.9 pts-within-2).
+        Visibility is ANDed with an in-bounds test on the MAPPED-BACK
+        positions: stabilization extrapolates at canvas borders, so a
+        point can be tracked on warped edge padding while its true
+        location has left the original frame.
+        """
+        import jax.numpy as jnp
+
+        from tdspa.ops.lk import _to_gray
+        from tdspa.ops.warp import apply_similarity, warp_video_similarity
+
+        h, w = video.shape[1], video.shape[2]
+        gray = _to_gray(video) * 255.0  # [T H W] luma, uint8 scale
+        pad_h, pad_w = (-h) % 8, (-w) % 8
+        if pad_h or pad_w:  # warp needs %8 frames; bottom/right edge pad
+            gray = jnp.pad(
+                gray, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge"
+            )
+        stab = warp_video_similarity(gray, fit["A"], fit["t"])
+        out = self.__call__(stab, _allow_stabilize=False)
+        mapped = apply_similarity(
+            fit["A"], fit["t"], jnp.asarray(out["tracks"])
+        )
+        in_bounds = (
+            (mapped[..., 0] >= 0)
+            & (mapped[..., 0] <= w - 1)
+            & (mapped[..., 1] >= 0)
+            & (mapped[..., 1] <= h - 1)
+        )
+        vis = jnp.asarray(out["visible"]) * in_bounds[..., None]
+        if isinstance(out["tracks"], np.ndarray):
+            return {
+                "tracks": np.asarray(mapped, np.float32),
+                "visible": np.asarray(vis, np.float32),
+            }
+        return {"tracks": mapped, "visible": vis}
+
     def _apply_matcher(self, video, tracks, params,
                        template_frame=None, template_pos=None,
                        refine_first=False, backend="auto"):
@@ -250,7 +330,7 @@ class PyramidalLKTracker:
         (lets the pipeline share its single host->HBM upload)."""
         return self.backend_for(video_shape) == "pallas"
 
-    def __call__(self, video) -> dict:
+    def __call__(self, video, _allow_stabilize: bool = True) -> dict:
         import contextlib
 
         import jax
@@ -281,6 +361,10 @@ class PyramidalLKTracker:
                 lambda kw: track_video_lk_pallas(video, queries, **kw),
                 kwargs, tracks, visible,
             )
+            if _allow_stabilize:
+                stab_fit = self._maybe_stabilize(tracks)
+                if stab_fit is not None:
+                    return self._stabilized_result(video, stab_fit)
             m = self._matcher_for(
                 video, lk_visible=visible, rescue_drop=rescue_drop
             )
@@ -302,6 +386,12 @@ class PyramidalLKTracker:
                 lambda kw: track_video_lk(np.asarray(video), queries, **kw),
                 kwargs, tracks, visible,
             )
+            if _allow_stabilize:
+                stab_fit = self._maybe_stabilize(tracks)
+                if stab_fit is not None:
+                    return self._stabilized_result(
+                        np.asarray(video), stab_fit
+                    )
             m = self._matcher_for(
                 video, lk_visible=visible, rescue_drop=rescue_drop
             )
@@ -401,6 +491,15 @@ class PyramidalLKTracker:
             ),
             kwargs, tracks_cat, vis_cat,
         )
+        # Camera-roll escalation: identical gate + semantics to the
+        # single-call path (the re-track runs single-shot on the
+        # concatenated stabilized luma — streaming overlap is forfeited
+        # only when heavy roll is actually detected).
+        stab_fit = self._maybe_stabilize(tracks_cat)
+        if stab_fit is not None:
+            return self._stabilized_result(
+                jnp.concatenate(chunks, axis=0), stab_fit
+            )
         if chunk_stats and (
             self._auto_engage(chunk_stats)
             or (rescue_drop < 0.1 and self._collapse_engage(vis_cat))

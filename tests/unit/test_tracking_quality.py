@@ -244,3 +244,71 @@ def test_classical_lk_robust_to_slow_affine_motion(kw):
     q = tracking_quality(tracker(video), gt_tracks, gt_vis)
     assert q["pts_within_2"] > 0.8, q
     assert q["visibility_accuracy"] > 0.8, q
+
+
+def test_strong_roll_stabilized_retrack():
+    """Strong camera roll (2.5 deg/frame, 57.5 deg cumulative): rotated
+    templates defeat both the LK window match and the matcher's
+    axis-aligned cost patches (measured round 4: 0.49 classical, 0.53
+    matcher). The auto policy must detect the roll from the classical
+    pass's own tracks, counter-warp to frame-0 orientation
+    (tdspa/ops/warp.py), re-track there, and map positions back —
+    measured 0.975 pts-within-2."""
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=310, num_sprites=0, rot_rate=np.deg2rad(2.5), num_frames=24
+    )
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    assert q["pts_within_2"] > 0.9, q
+    assert q["visibility_accuracy"] > 0.9, q
+
+
+def test_stabilize_gate_stays_off_without_strong_roll(monkeypatch):
+    """The escalation is for heavy roll ONLY: translation-like, slow-roll,
+    zoom, and deforming content must not trigger the re-track (the
+    existing rescue/matcher stack already handles those, and a spurious
+    warp pass costs a full second re-track). Measured gate inputs per
+    regime are recorded at tracks.py STAB_MIN_* definitions."""
+    engaged = []
+    orig = PyramidalLKTracker._maybe_stabilize
+
+    def spy(self, tracks):
+        fit = orig(self, tracks)
+        engaged.append(fit is not None)
+        return fit
+
+    monkeypatch.setattr(PyramidalLKTracker, "_maybe_stabilize", spy)
+    for kw in (
+        dict(seed=0),  # clean sprites
+        dict(seed=1, num_sprites=0, rot_rate=np.deg2rad(1.0), num_frames=16),
+        dict(seed=0, noise_sigma=10.0, contrast=0.7, zoom_rate=0.02),
+        dict(seed=5, deform_amp=3.0),
+    ):
+        video, _, _ = make_tracking_scene(**kw)
+        tracker = PyramidalLKTracker(
+            grid_size=12, device="cpu", matcher="auto"
+        )
+        tracker(video)
+    assert engaged == [False, False, False, False], engaged
+
+
+def test_strong_roll_stabilized_retrack_chunked():
+    """The chunked (pipeline) path carries the same escalation: the gate
+    is evaluated once on the chained full-video tracks, and the re-track
+    runs single-shot on the concatenated stabilized luma. 16 frames at
+    2.5 deg/frame = 40 deg cumulative, past the 30-deg gate."""
+    import jax.numpy as jnp
+
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=310, num_sprites=0, rot_rate=np.deg2rad(2.5), num_frames=16
+    )
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+    chunks = [jnp.asarray(video[:8]), jnp.asarray(video[8:])]
+    out = tracker.track_chunks(chunks, interpret=True)
+    q = tracking_quality(
+        {"tracks": np.asarray(out["tracks"]),
+         "visible": np.asarray(out["visible"])},
+        gt_tracks, gt_vis,
+    )
+    assert q["pts_within_2"] > 0.9, q
+    assert q["visibility_accuracy"] > 0.9, q
