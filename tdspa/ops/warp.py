@@ -16,9 +16,11 @@ which then sees a de-rotated (merely degraded) scene it already wins on.
 Two TPU-specific design points (both measured, docs/BENCHMARKS.md
 round 4):
 
-* The per-frame similarity fit is a COMPLEX least-squares (z = x + iy;
+* The per-frame similarity fit is a complex least-squares (z = x + iy;
   z_t ~ w z_{t-1} + b solves scaled-rotation Procrustes in closed form,
-  no SVD), vectorized over all frames, with hard inlier reweighting.
+  no SVD) written out in REAL pairs — complex64 is unimplemented on the
+  TPU backend (measured on-chip) — vectorized over all frames, with
+  hard inlier reweighting.
   Fits are consecutive-frame (inter-frame motion is always small, so
   inliers survive ANY cumulative rotation where frame-0-referenced fits
   starve past ~40 deg) and composed cumulatively by a ``lax.scan``.
@@ -67,26 +69,38 @@ def fit_similarity_sequence(tracks, visible=None, rounds: int = 3,
       support; index 0 is 1.0 by convention).
     """
     tracks = jnp.asarray(tracks, jnp.float32)
-    n, num_frames = tracks.shape[0], tracks.shape[1]
-    z = lax.complex(tracks[..., 0], tracks[..., 1])  # [N T]
-    z0, z1 = z[:, :-1], z[:, 1:]
-    w = jnp.ones(z0.shape, jnp.float32)
-    wc = jnp.ones(z0.shape[1], jnp.complex64)
-    b = jnp.zeros(z0.shape[1], jnp.complex64)
+    n = tracks.shape[0]
+    # The complex LS z_t ~ w z_{t-1} + b, expanded into real pairs
+    # (complex64 is UNIMPLEMENTED on the TPU backend — measured on-chip):
+    # w = (wr, wi) acts on (x, y) as the scaled rotation
+    # [wr -wi; wi wr], and all complex products below are written out.
+    x0, y0 = tracks[:, :-1, 0], tracks[:, :-1, 1]  # [N T-1]
+    x1, y1 = tracks[:, 1:, 0], tracks[:, 1:, 1]
+    w = jnp.ones(x0.shape, jnp.float32)
+    wr = jnp.ones(x0.shape[1], jnp.float32)
+    wi = jnp.zeros(x0.shape[1], jnp.float32)
+    bx = jnp.zeros(x0.shape[1], jnp.float32)
+    by = jnp.zeros(x0.shape[1], jnp.float32)
     # Annealed inlier threshold: gross outliers (drifted tracks) pull the
     # all-points round-0 fit several px off every GOOD point, so a hard
     # cut at inlier_px there can empty the support; start wide, tighten.
     anneal = [inlier_px * 2.0 ** (rounds - 1 - r) for r in range(rounds)]
     for thr in anneal:
         ws = w.sum(0) + 1e-8
-        mu0 = (w * z0).sum(0) / ws
-        mu1 = (w * z1).sum(0) / ws
-        c0, c1 = z0 - mu0, z1 - mu1
-        num = (w * jnp.conj(c0) * c1).sum(0)
-        den = (w * jnp.abs(c0) ** 2).sum(0) + 1e-8
-        wc = num / den
-        b = mu1 - wc * mu0
-        resid = jnp.abs(z1 - (wc * z0 + b))
+        mx0, my0 = (w * x0).sum(0) / ws, (w * y0).sum(0) / ws
+        mx1, my1 = (w * x1).sum(0) / ws, (w * y1).sum(0) / ws
+        cx0, cy0 = x0 - mx0, y0 - my0
+        cx1, cy1 = x1 - mx1, y1 - my1
+        # num = sum w conj(c0) c1; den = sum w |c0|^2
+        num_r = (w * (cx0 * cx1 + cy0 * cy1)).sum(0)
+        num_i = (w * (cx0 * cy1 - cy0 * cx1)).sum(0)
+        den = (w * (cx0 * cx0 + cy0 * cy0)).sum(0) + 1e-8
+        wr, wi = num_r / den, num_i / den
+        bx = mx1 - (wr * mx0 - wi * my0)
+        by = my1 - (wi * mx0 + wr * my0)
+        resid = jnp.hypot(
+            x1 - (wr * x0 - wi * y0 + bx), y1 - (wi * x0 + wr * y0 + by)
+        )
         w_new = (resid < thr).astype(jnp.float32)
         # Per-frame guard: a cut that starves a frame's support keeps the
         # previous round's weights there instead of fitting on noise.
@@ -94,31 +108,40 @@ def fit_similarity_sequence(tracks, visible=None, rounds: int = 3,
         w = jnp.where(keep[None, :], w_new, w)
     inliers = ((resid < inlier_px).astype(jnp.float32) * w).sum(0)
     ok = inliers >= min_inliers
-    wc = jnp.where(ok, wc, 1.0 + 0.0j)
-    b = jnp.where(ok, b, 0.0 + 0.0j)
+    wr = jnp.where(ok, wr, 1.0)
+    wi = jnp.where(ok, wi, 0.0)
+    bx = jnp.where(ok, bx, 0.0)
+    by = jnp.where(ok, by, 0.0)
 
-    def compose(carry, x):
-        wp, bp = carry
-        wct, bt = x
-        nxt = (wct * wp, wct * bp + bt)
+    def compose(carry, step):
+        pwr, pwi, pbx, pby = carry
+        swr, swi, sbx, sby = step
+        nxt = (
+            swr * pwr - swi * pwi,
+            swr * pwi + swi * pwr,
+            swr * pbx - swi * pby + sbx,
+            swi * pbx + swr * pby + sby,
+        )
         return nxt, nxt
 
-    _, (wcum, bcum) = lax.scan(compose, (1.0 + 0.0j, 0.0 + 0.0j), (wc, b))
-    wcum = jnp.concatenate([jnp.ones((1,), jnp.complex64), wcum])
-    bcum = jnp.concatenate([jnp.zeros((1,), jnp.complex64), bcum])
+    one = jnp.ones(())
+    zero = jnp.zeros(())
+    _, (cwr, cwi, cbx, cby) = lax.scan(
+        compose, (one, zero, zero, zero), (wr, wi, bx, by)
+    )
+    cwr = jnp.concatenate([jnp.ones((1,)), cwr])
+    cwi = jnp.concatenate([jnp.zeros((1,)), cwi])
+    cbx = jnp.concatenate([jnp.zeros((1,)), cbx])
+    cby = jnp.concatenate([jnp.zeros((1,)), cby])
     a_mat = jnp.stack(
-        [
-            jnp.stack([wcum.real, -wcum.imag], -1),
-            jnp.stack([wcum.imag, wcum.real], -1),
-        ],
-        -2,
+        [jnp.stack([cwr, -cwi], -1), jnp.stack([cwi, cwr], -1)], -2
     )  # [T 2 2]: complex multiply as a 2x2 on (x, y)
-    t_vec = jnp.stack([bcum.real, bcum.imag], -1)  # [T 2]
+    t_vec = jnp.stack([cbx, cby], -1)  # [T 2]
     return {
         "A": a_mat,
         "t": t_vec,
-        "angle_deg": jnp.degrees(jnp.arctan2(wcum.imag, wcum.real)),
-        "scale": jnp.abs(wcum),
+        "angle_deg": jnp.degrees(jnp.arctan2(cwi, cwr)),
+        "scale": jnp.hypot(cwr, cwi),
         "inlier_frac": jnp.concatenate(
             [jnp.ones((1,)), inliers / float(max(n, 1))]
         ),
