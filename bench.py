@@ -169,6 +169,11 @@ def measure_e2e():
     # (serving knob; the exact-erf GELU is VPU-bound — measured -17.5%
     # on the DINO stage). Default 0 keeps exact HF numerics.
     fast_gelu = os.environ.get("BENCH_FAST_GELU", "0") == "1"
+    # BENCH_DEPTH_INPUT=392: resize frames so the long side ~ this before
+    # the VDA backbone (approximate serving knob — the backbone dominates
+    # the depth stage and scales ~quadratically with side length).
+    # Default 518 keeps the exact reference input.
+    depth_input = int(os.environ.get("BENCH_DEPTH_INPUT", "518"))
 
     def make_pipeline(chunk):
         return InferencePipeline(
@@ -185,6 +190,7 @@ def measure_e2e():
                 encoder="vitb",
                 residual_dtype=resid or jnp.float32,
                 output_scale=depth_scale,
+                input_size=depth_input,
                 gelu_approximate=fast_gelu,
             ),
             upload_chunk_frames=chunk,

@@ -39,6 +39,13 @@ flags.DEFINE_float(
     "convs are nonlinear. 0.5 measured -21% depth-stage time; 1.0 = exact "
     "reference head)",
 )
+flags.DEFINE_integer(
+    "depth_input_size", 518,
+    "Resize frames so the long side ~ this before the VDA depth backbone "
+    "(serving knob; approximate — the backbone dominates the depth stage "
+    "and scales ~quadratically with side length. 518 = exact reference "
+    "input)",
+)
 flags.DEFINE_bool(
     "fast_gelu", False,
     "tanh-approximate GELU in the DINOv2/VDA ViT backbones (serving knob; "
@@ -140,6 +147,7 @@ def main(argv):
             depth_provider = VideoDepthEstimator.from_checkpoint(
                 FLAGS.vda_model_path, encoder=FLAGS.vda_encoder,
                 output_scale=FLAGS.depth_output_scale,
+                input_size=FLAGS.depth_input_size,
                 gelu_approximate=FLAGS.fast_gelu,
             )
 
@@ -160,6 +168,7 @@ def main(argv):
         quantize=FLAGS.quantize,
         residual_dtype=jnp.bfloat16 if FLAGS.bf16_residual else None,
         depth_output_scale=FLAGS.depth_output_scale,
+        depth_input_size=FLAGS.depth_input_size,
         gelu_approximate=FLAGS.fast_gelu,
     )
     results = pipeline.run(FLAGS.video_path)

@@ -354,6 +354,7 @@ class VideoDepthEstimator:
         head_cfg: dict | None = None,
         residual_dtype=jnp.float32,
         output_scale: float = 1.0,
+        input_size: int = 518,
         gelu_approximate: bool = False,
     ):
         cfg = dict(VDA_MODEL_CONFIGS[encoder])
@@ -396,6 +397,18 @@ class VideoDepthEstimator:
         if not (0.0 < output_scale <= 1.0):
             raise ValueError(f"output_scale must be in (0, 1], got {output_scale}")
         self.output_scale = float(output_scale)
+        # input_size < 518: resize frames so the LONG side ~ input_size
+        # before the backbone (default for __call__; an explicit call arg
+        # still overrides). The backbone is the depth stage's dominant term
+        # and scales ~quadratically with side length; position embeddings
+        # interpolate (tdspa/features/vit.py). APPROXIMATION vs the
+        # reference's fixed 518 input (serving knob; default 518 = exact).
+        if input_size < self.vit_config.patch_size:
+            raise ValueError(
+                f"input_size must be >= patch size "
+                f"({self.vit_config.patch_size}), got {input_size}"
+            )
+        self.input_size = int(input_size)
         self.params = params
 
     @classmethod
@@ -463,8 +476,10 @@ class VideoDepthEstimator:
             taps.append(tokens[:, 1:])  # drop CLS
         return taps
 
-    def __call__(self, video, input_size: int = 518) -> jnp.ndarray:
+    def __call__(self, video, input_size: int | None = None) -> jnp.ndarray:
         """video [T H W 3] uint8 -> depth [T H W 1] f32 (device-resident)."""
+        if input_size is None:
+            input_size = self.input_size
         if self.params is None:
             logging.warning(
                 "VideoDepthEstimator has no weights; depth will use RANDOM "

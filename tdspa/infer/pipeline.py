@@ -206,6 +206,7 @@ class InferencePipeline:
         quantize: bool = False,
         residual_dtype=None,
         depth_output_scale: float = 1.0,
+        depth_input_size: int = 518,
         gelu_approximate: bool = False,
     ):
         self.num_output_frames = num_output_frames
@@ -229,6 +230,10 @@ class InferencePipeline:
         # < 1.0 runs the DPT head's HBM-bound full-res tail at reduced
         # resolution (approximate; see VideoDepthEstimator.output_scale).
         self.depth_output_scale = depth_output_scale
+        # < 518 feeds the VDA backbone a smaller resize of each frame (the
+        # backbone dominates the depth stage and scales ~quadratically with
+        # side length — approximate; see VideoDepthEstimator.input_size).
+        self.depth_input_size = depth_input_size
         # tanh GELU in the lazily-built DINOv2/VDA backbones (-17.5%
         # measured on the DINO stage; ~1e-3 relative activation delta —
         # serving knob, see tdspa/features/vit.py::_Block).
@@ -308,6 +313,7 @@ class InferencePipeline:
                 encoder=self.vda_encoder,
                 residual_dtype=self.residual_dtype,
                 output_scale=self.depth_output_scale,
+                input_size=self.depth_input_size,
                 gelu_approximate=self.gelu_approximate,
             )
         return self._depth_provider

@@ -111,6 +111,46 @@ def test_depth_output_scale():
         VideoDepthEstimator(encoder="vits", output_scale=1.5)
 
 
+def test_depth_input_size():
+    """Constructor input_size is the __call__ default (serving knob): same
+    output contract, exactly equal to passing the size per call, and bad
+    values rejected up front."""
+    import pytest
+    from tdspa.features.vit import Dinov2Flax, ViTConfig
+    from tdspa.features.depth import DPTHead
+
+    def make(**kw):
+        est = VideoDepthEstimator(
+            encoder="vits", use_temporal=True, frame_chunk=2, **kw
+        )
+        est.vit_config = ViTConfig(
+            hidden_size=32, num_layers=4, num_heads=2, patch_size=14,
+            image_size=28,
+        )
+        est.backbone = Dinov2Flax(config=est.vit_config)
+        est.layer_idxs = (0, 1, 2, 3)
+        est.head = DPTHead(features=16, out_channels=[8, 16, 24, 32])
+        est.init_params(jax.random.PRNGKey(0), sample_hw=(56, 56))
+        return est
+
+    video = (np.random.default_rng(2).uniform(0, 255, (3, 60, 44, 3))).astype(
+        np.uint8
+    )
+    small = np.asarray(make(input_size=42)(video))
+    assert small.shape == (3, 60, 44, 1)
+    assert (small >= 0).all() and np.isfinite(small).all()
+    # The constructor default and an explicit per-call size are one path.
+    per_call = np.asarray(make(input_size=518)(video, input_size=42))
+    np.testing.assert_array_equal(small, per_call)
+    # Smaller backbone input actually changes the prediction (the knob is
+    # live, not a no-op resize).
+    full = np.asarray(make(input_size=56)(video))
+    assert np.abs(small - full).max() > 0
+
+    with pytest.raises(ValueError):
+        VideoDepthEstimator(encoder="vits", input_size=7)
+
+
 def test_vda_configs_match_reference():
     # Channel tables from reference inference.py:236-240.
     assert VDA_MODEL_CONFIGS["vitb"]["features"] == 128
