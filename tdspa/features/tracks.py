@@ -215,9 +215,13 @@ class PyramidalLKTracker:
 
         Fits the per-frame global similarity from the classical pass's
         own tracks (tdspa/ops/warp.py — consecutive-frame complex
-        least-squares, robust, composed) and returns the fit when the
-        cumulative rotation exceeds STAB_MIN_ANGLE_DEG with credible
-        support, else None. Rotated templates defeat BOTH the LK window
+        least-squares written in real pairs, robust, composed) and
+        returns the fit when the cumulative rotation exceeds
+        STAB_MIN_ANGLE_DEG with credible support, else None. Called
+        twice per video at most (two-tier gate): on the pass-1 tracks
+        (consecutive-frame fits survive collapse — measured rot_strong
+        55 deg / inlier 0.89 pre-rescue) and, only when a rescue
+        re-track changed the tracks, on the rescued ones. Rotated templates defeat BOTH the LK window
         match and the matcher's axis-aligned cost patches (measured:
         rot_strong pts-within-2 0.49 classical / 0.53 matcher), so the
         fix is geometric: counter-warp the video into the frame-0
@@ -357,11 +361,23 @@ class PyramidalLKTracker:
             # costs seconds through a dev-tunnel transport and the pipeline
             # consumes these on device anyway.
             tracks, visible = track_video_lk_pallas(video, queries, **kwargs)
+            # Two-tier roll gate: consecutive-frame fits survive tracking
+            # collapse (inter-frame motion stays small), so gate on the
+            # pass-1 tracks FIRST — a confident heavy-roll fit here skips
+            # the rescue re-track on the rolled video entirely (its tracks
+            # would be discarded; measured pass-1 gate inputs: rot_strong
+            # 55 deg / inlier 0.89, clean 1 deg, zoom 0.2 deg). The
+            # post-rescue re-gate below keeps the old behavior whenever the
+            # pass-1 fit is under-confident but the rescued one is not.
+            if _allow_stabilize:
+                stab_fit = self._maybe_stabilize(tracks)
+                if stab_fit is not None:
+                    return self._stabilized_result(video, stab_fit)
             tracks, visible, rescue_drop = self._maybe_rescue(
                 lambda kw: track_video_lk_pallas(video, queries, **kw),
                 kwargs, tracks, visible,
             )
-            if _allow_stabilize:
+            if _allow_stabilize and rescue_drop > 0.0:
                 stab_fit = self._maybe_stabilize(tracks)
                 if stab_fit is not None:
                     return self._stabilized_result(video, stab_fit)
@@ -382,11 +398,18 @@ class PyramidalLKTracker:
             tracks, visible = track_video_lk(
                 np.asarray(video), queries, **kwargs
             )
+            # Two-tier roll gate — same reasoning as the pallas branch.
+            if _allow_stabilize:
+                stab_fit = self._maybe_stabilize(tracks)
+                if stab_fit is not None:
+                    return self._stabilized_result(
+                        np.asarray(video), stab_fit
+                    )
             tracks, visible, rescue_drop = self._maybe_rescue(
                 lambda kw: track_video_lk(np.asarray(video), queries, **kw),
                 kwargs, tracks, visible,
             )
-            if _allow_stabilize:
+            if _allow_stabilize and rescue_drop > 0.0:
                 stab_fit = self._maybe_stabilize(tracks)
                 if stab_fit is not None:
                     return self._stabilized_result(
@@ -484,6 +507,16 @@ class PyramidalLKTracker:
         # rescue config — identical semantics to the single-call path's
         # (frame 0 of the concatenation IS the template frame, and the
         # chunked LK loop equals the single-shot one by construction).
+        # Camera-roll escalation: identical two-tier gate + semantics to
+        # the single-call path (the re-track runs single-shot on the
+        # concatenated stabilized luma — streaming overlap is forfeited
+        # only when heavy roll is actually detected). Pre-rescue gate
+        # first: a confident fit skips the rescue on the rolled video.
+        stab_fit = self._maybe_stabilize(tracks_cat)
+        if stab_fit is not None:
+            return self._stabilized_result(
+                jnp.concatenate(chunks, axis=0), stab_fit
+            )
         tracks_cat, vis_cat, rescue_drop = self._maybe_rescue(
             lambda kw: track_video_lk_pallas(
                 jnp.concatenate(chunks, axis=0), queries,
@@ -491,15 +524,12 @@ class PyramidalLKTracker:
             ),
             kwargs, tracks_cat, vis_cat,
         )
-        # Camera-roll escalation: identical gate + semantics to the
-        # single-call path (the re-track runs single-shot on the
-        # concatenated stabilized luma — streaming overlap is forfeited
-        # only when heavy roll is actually detected).
-        stab_fit = self._maybe_stabilize(tracks_cat)
-        if stab_fit is not None:
-            return self._stabilized_result(
-                jnp.concatenate(chunks, axis=0), stab_fit
-            )
+        if rescue_drop > 0.0:
+            stab_fit = self._maybe_stabilize(tracks_cat)
+            if stab_fit is not None:
+                return self._stabilized_result(
+                    jnp.concatenate(chunks, axis=0), stab_fit
+                )
         if chunk_stats and (
             self._auto_engage(chunk_stats)
             or (rescue_drop < 0.1 and self._collapse_engage(vis_cat))
