@@ -292,6 +292,43 @@ def test_stabilize_gate_stays_off_without_strong_roll(monkeypatch):
     assert engaged == [False, False, False, False], engaged
 
 
+def test_roll_gate_pre_empts_rescue(monkeypatch):
+    """Two-tier gate: when the pass-1 similarity fit already clears the
+    roll gate (consecutive-frame fits survive collapse — measured
+    rot_strong 55 deg / inlier 0.89 pre-rescue), the rescue re-track on
+    the rolled video is skipped outright (its tracks would be
+    discarded). The re-track INSIDE the stabilized result still goes
+    through the full policy, so only the outer (pre-gate) call must
+    vanish."""
+    rescue_calls = []
+    orig_rescue = PyramidalLKTracker._maybe_rescue
+    orig_stab = PyramidalLKTracker._stabilized_result
+
+    def rescue_spy(self, run, kwargs, tracks, visible):
+        rescue_calls.append("outer" if not in_stab else "inner")
+        return orig_rescue(self, run, kwargs, tracks, visible)
+
+    in_stab = False
+
+    def stab_spy(self, video, fit):
+        nonlocal in_stab
+        in_stab = True
+        try:
+            return orig_stab(self, video, fit)
+        finally:
+            in_stab = False
+
+    monkeypatch.setattr(PyramidalLKTracker, "_maybe_rescue", rescue_spy)
+    monkeypatch.setattr(PyramidalLKTracker, "_stabilized_result", stab_spy)
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=310, num_sprites=0, rot_rate=np.deg2rad(2.5), num_frames=24
+    )
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    assert "outer" not in rescue_calls, rescue_calls
+    assert q["pts_within_2"] > 0.9, q
+
+
 def test_strong_roll_stabilized_retrack_chunked():
     """The chunked (pipeline) path carries the same escalation: the gate
     is evaluated once on the chained full-video tracks, and the re-track
