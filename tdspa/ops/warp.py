@@ -54,6 +54,9 @@ _TAPS = 8
 _BLOCK = 8
 
 
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "inlier_px", "min_inliers")
+)
 def fit_similarity_sequence(tracks, visible=None, rounds: int = 3,
                             inlier_px: float = 2.0, min_inliers: int = 4):
     """Per-frame global similarity from tracks, robust + composed.
@@ -217,6 +220,7 @@ def _paeth_rotate(frames, theta):
     return _shear_x_pass(out, a, z)
 
 
+@functools.partial(jax.jit, static_argnames=("max_single_deg",))
 def warp_video_similarity(video_gray, a_mat, t_vec, max_single_deg=45.0):
     """Stabilize: out_t(p) = in_t(A_t p + t_t), gather-free.
 
