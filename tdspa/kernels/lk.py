@@ -632,8 +632,8 @@ def _lk_pair_kernel(
     static_argnames=("num_levels", "window", "iterations", "fb_threshold",
                      "ncc_threshold", "template_ncc_threshold",
                      "corr_radius", "corr_iterations", "corr_accept",
-                     "corr_rescue_level", "narrow", "interpret",
-                     "return_velocity"),
+                     "corr_rescue_level", "input_scale", "narrow",
+                     "interpret", "return_velocity"),
 )
 def track_video_lk_pallas(
     video,  # [T H W 3] uint8/float
@@ -651,6 +651,7 @@ def track_video_lk_pallas(
     template_frame=None,  # [H W] f32 gray; default = this video's frame 0
     template_pos=None,  # [N 2] f32; default = queries
     init_velocity=None,  # [N 2] f32 velocity-prior seed; default zeros
+    input_scale: float = 1.0,
     narrow: bool = True,
     interpret: bool = False,
     return_velocity: bool = False,
@@ -664,8 +665,17 @@ def track_video_lk_pallas(
     ``init_velocity``/``return_velocity`` chain the constant-velocity prior
     across chunk boundaries the same way (pass the previous chunk's returned
     velocity as the next chunk's seed).
+
+    ``input_scale=0.5`` tracks on a half-resolution luma pyramid (serving
+    knob): the 2x2-mean level that would be the pyramid's own level 1
+    becomes the finest level, so per-group work drops by the finest level's
+    share (~1/3 at 3 levels) at a sub-pixel accuracy cost measured in
+    docs/BENCHMARKS.md ("Tracking input-scale knob"). All coordinates in
+    and out stay in FULL-resolution pixels; ``fb_threshold`` is applied in
+    tracked-resolution pixels (scaled internally, preserving the full-res
+    tolerance contract).
     """
-    from tdspa.ops.lk import _to_gray, build_pyramid
+    from tdspa.ops.lk import _downsample2, _to_gray, build_pyramid
 
     if window > 7:
         raise ValueError("track_video_lk_pallas supports window <= 7 "
@@ -678,7 +688,23 @@ def track_video_lk_pallas(
             f"(2*{corr_radius} + {window} - 1) must fit 16 aligned strip "
             "rows"
         )
+    if input_scale not in (1.0, 0.5):
+        raise ValueError(f"input_scale must be 1.0 or 0.5, got {input_scale}")
     gray = _to_gray(jnp.asarray(video))
+    if input_scale == 0.5:
+        # Half-res pixel center i sits at full-res 2i + 0.5 (2x2 mean):
+        # x_half = (x_full - 0.5) / 2. Thresholds in tracked px.
+        gray = _downsample2(gray)
+        queries = (jnp.asarray(queries, jnp.float32) - 0.5) * 0.5
+        if template_pos is not None:
+            template_pos = (jnp.asarray(template_pos, jnp.float32) - 0.5) * 0.5
+        if template_frame is not None:
+            template_frame = _downsample2(
+                jnp.asarray(template_frame, jnp.float32)[None]
+            )[0]
+        if init_velocity is not None:
+            init_velocity = jnp.asarray(init_velocity, jnp.float32) * 0.5
+        fb_threshold = float(fb_threshold) * 0.5
     num_frames, height, width = gray.shape
     # Every level must be >= one full (8, 128) register tile: Mosaic rejects
     # sub-128-lane frame shapes ("unsupported unaligned shape").
@@ -799,6 +825,11 @@ def track_video_lk_pallas(
     visible = jnp.concatenate(
         [jnp.ones((1, num_points, 1), jnp.float32), vis], axis=0
     )[:, :num_points_orig]
+    if input_scale == 0.5:
+        # Back to full-resolution pixels (exact inverse of the input map:
+        # the prepended query row returns to the caller's original values).
+        tracks = tracks * 2.0 + 0.5
+        vel_final = vel_final * 2.0
     out = (
         jnp.transpose(tracks, (1, 0, 2)),
         jnp.transpose(visible, (1, 0, 2)),

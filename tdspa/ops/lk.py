@@ -368,6 +368,7 @@ def track_video_lk(
     corr_iterations: int = 2,
     corr_accept: float = 0.85,
     corr_rescue_level: int = 0,
+    input_scale: float = 1.0,
 ):
     """Track query points through a video.
 
@@ -384,9 +385,20 @@ def track_video_lk(
     pixels) for points the fine cost volume could not place — fast-motion
     recovery far past LK's pull-in range (0 disables).
 
+    ``input_scale=0.5`` tracks on the half-resolution luma (serving knob —
+    see tdspa/kernels/lk.py::track_video_lk_pallas for semantics); all
+    coordinates in and out stay in full-resolution pixels.
+
     Returns (tracks [N T 2] float32, visible [N T 1] float32).
     """
+    if input_scale not in (1.0, 0.5):
+        raise ValueError(f"input_scale must be 1.0 or 0.5, got {input_scale}")
     gray = _to_gray(jnp.asarray(video))
+    queries = jnp.asarray(queries, jnp.float32)
+    if input_scale == 0.5:
+        gray = _downsample2(gray)
+        queries = (queries - 0.5) * 0.5
+        fb_threshold = float(fb_threshold) * 0.5
     tracks, visible = _track_all(
         gray,
         jnp.asarray(queries, jnp.float32),
@@ -401,4 +413,6 @@ def track_video_lk(
         float(corr_accept),
         int(corr_rescue_level),
     )
+    if input_scale == 0.5:
+        tracks = tracks * 2.0 + 0.5
     return tracks, visible[..., None].astype(jnp.float32)

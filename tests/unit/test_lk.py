@@ -246,3 +246,70 @@ def test_pallas_corr_refine_no_strip_wrap():
     np.testing.assert_allclose(
         np.asarray(tr_k), np.asarray(tr_o), atol=1e-3
     )
+
+
+def test_input_scale_static_video_exact_coords():
+    """input_scale=0.5: the half-res coordinate map must round-trip exactly
+    — a static video's tracks equal the queries in FULL-res pixels."""
+    video = _make_video(4, 256, 256, 0.0, 0.0)
+    queries = np.array([[128.0, 128.0], [40.0, 200.0]], np.float32)
+    tracks, visible = track_video_lk(video, queries, input_scale=0.5)
+    np.testing.assert_allclose(
+        np.asarray(tracks),
+        np.broadcast_to(queries[:, None], (2, 4, 2)),
+        atol=0.2,
+    )
+    assert np.asarray(visible).all()
+
+
+def test_input_scale_tracks_translation():
+    """Half-res tracking recovers full-res motion in full-res coordinates."""
+    T, H, W = 6, 128, 128
+    vx, vy = 1.5, -0.8
+    video = _make_video(T, H, W, vx, vy)
+    queries = np.array([[40.0, 60.0], [64.0, 64.0], [80.0, 40.0]], np.float32)
+    tracks, visible = track_video_lk(video, queries, input_scale=0.5)
+    t_idx = np.arange(T, dtype=np.float32)
+    expected = queries[:, None, :] + np.stack(
+        [vx * t_idx, vy * t_idx], axis=-1
+    )[None]
+    # Half-res sub-pixel accuracy is ~2x the full-res tracker's, and on this
+    # deliberately high-frequency texture (wavelength ~7 half-res px) a
+    # point may alias out entirely — the contract is that such points are
+    # SELF-REPORTED invisible while visible points stay accurate in
+    # full-res coordinates (the knob's measured quality cost at the
+    # pipeline's 512x512 operating point lives in docs/BENCHMARKS.md).
+    err = np.abs(np.asarray(tracks) - expected).max(axis=-1)
+    vis = np.asarray(visible)[..., 0] > 0
+    assert vis[:, 1:].any(axis=1).sum() >= 2, vis
+    assert err[vis].max() < 1.0, err[vis].max()
+
+
+def test_pallas_input_scale_matches_xla_oracle():
+    """Pallas (interpret) == XLA at input_scale=0.5, including the velocity
+    output's full-res scaling."""
+    import jax.numpy as jnp
+
+    from tdspa.kernels.lk import track_video_lk_pallas
+
+    T, H, W = 6, 128, 128
+    video = _make_video(T, H, W, 1.5, -0.8)
+    queries = np.array(
+        [[40.0, 60.0], [64.0, 64.0], [80.0, 40.0], [50.0, 90.0]], np.float32
+    )
+    ref_tracks, ref_vis = track_video_lk(
+        video, queries, num_levels=2, window=7, iterations=8,
+        corr_radius=0, input_scale=0.5,
+    )
+    got_tracks, got_vis, got_vel = track_video_lk_pallas(
+        video, jnp.asarray(queries), num_levels=2, window=7, iterations=8,
+        corr_radius=0, input_scale=0.5, interpret=True,
+        return_velocity=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tracks), np.asarray(ref_tracks), atol=0.05
+    )
+    np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(ref_vis))
+    # Velocity is reported in full-res px/frame (chunk chaining contract).
+    last_step = np.asarray(got_tracks)[:, -1] - np.asarray(got_tracks)[:, -2]
+    np.testing.assert_allclose(np.asarray(got_vel), last_step, atol=0.3)
