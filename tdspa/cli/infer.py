@@ -33,6 +33,12 @@ flags.DEFINE_bool(
     "vs the reference's f32 residual — see docs/BENCHMARKS.md)",
 )
 flags.DEFINE_float(
+    "tracking_input_scale", 1.0,
+    "LK tracker luma resolution factor (1.0 or 0.5). 0.5 drops the finest "
+    "pyramid level's share of the tracking kernel; measured time/quality "
+    "curve in docs/BENCHMARKS.md 'Tracking input-scale knob'",
+)
+flags.DEFINE_float(
     "depth_output_scale", 1.0,
     "Run the DPT head's full-resolution tail at this scale and bilinearly "
     "upsample the depth map (serving knob; approximate — the head's final "
@@ -95,6 +101,12 @@ flags.DEFINE_string(
     "tdspa/features/matcher.py",
 )
 
+flags.DEFINE_bool(
+    "debug_nans", False,
+    "Enable jax_debug_nans: any op producing a NaN raises with a traceback "
+    "(re-runs the offending computation op-by-op; debug only)",
+)
+
 
 def _build_track_provider():
     from tdspa.features import tracks as T
@@ -110,6 +122,7 @@ def _build_track_provider():
             corr_radius=FLAGS.tracker_corr_radius,
             corr_rescue_level=FLAGS.tracker_corr_rescue_level,
             matcher=FLAGS.tracker_matcher or None,
+            input_scale=FLAGS.tracking_input_scale,
         )
     if choice == "static":
         return T.StaticGridProvider(grid_size=FLAGS.tracking_grid_size)
@@ -129,6 +142,10 @@ def main(argv):
     from tdspa.utils.cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()  # warm starts (ROADMAP r2 #9)
+    if FLAGS.debug_nans:
+        from tdspa.utils.debug import enable_debug_nans
+
+        enable_debug_nans()  # SURVEY §5 sanitizers row
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
 
     depth_provider = None
@@ -170,6 +187,7 @@ def main(argv):
         depth_output_scale=FLAGS.depth_output_scale,
         depth_input_size=FLAGS.depth_input_size,
         gelu_approximate=FLAGS.fast_gelu,
+        tracking_input_scale=FLAGS.tracking_input_scale,
     )
     results = pipeline.run(FLAGS.video_path)
     save_results(results, FLAGS.output_dir)

@@ -36,6 +36,12 @@ import numpy as np
 # inlier 0.05 (all stay off — rescue/matcher already handle those).
 STAB_MIN_ANGLE_DEG = 30.0
 STAB_MIN_INLIER = 0.5
+# Upper bound: the gather-free warp's shear pad is exceeded past its
+# ~100-deg cumulative-roll budget (tdspa/ops/warp.py MAX_WARP_ANGLE_DEG;
+# measured vs the gather oracle: 18% of valid pixels >20 gray-levels wrong
+# at 150 deg). Beyond it a corrupted stabilized re-track would silently
+# replace the classical result, so the gate declines to escalate.
+STAB_MAX_ANGLE_DEG = 100.0
 
 
 def make_query_grid(height: int, width: int, grid_size: int) -> np.ndarray:
@@ -108,11 +114,17 @@ class PyramidalLKTracker:
         matcher=None,  # None | params dict | path to a matcher .npz
         matcher_vis_threshold: float = 0.5,
         device: str = "auto",  # 'auto' | 'pallas' | 'cpu' | 'default'
+        input_scale: float = 1.0,  # 0.5 = half-res tracking (serving knob)
     ):
         self.grid_size = grid_size
         self.num_levels = num_levels
         self.window = window
         self.iterations = iterations
+        # Half-res tracking drops the finest pyramid level's share of the
+        # kernel work (~1/3 at 3 levels); sub-pixel accuracy cost measured
+        # in docs/BENCHMARKS.md "Tracking input-scale knob". Coordinates
+        # stay full-res everywhere outside the LK backends.
+        self.input_scale = input_scale
         self.fb_threshold = fb_threshold
         self.ncc_threshold = ncc_threshold
         self.template_ncc_threshold = template_ncc_threshold
@@ -239,6 +251,11 @@ class PyramidalLKTracker:
         med_inl = float(jnp.median(fit["inlier_frac"][1:]))
         if max_angle < STAB_MIN_ANGLE_DEG or med_inl < STAB_MIN_INLIER:
             return None
+        if max_angle > STAB_MAX_ANGLE_DEG:
+            # Past the warp's shear-pad budget the stabilized frames corrupt
+            # (tdspa/ops/warp.py MAX_WARP_ANGLE_DEG) — keep the classical
+            # result rather than replace it with a re-track on bad pixels.
+            return None
         return fit
 
     def _stabilized_result(self, video, fit):
@@ -266,6 +283,13 @@ class PyramidalLKTracker:
                 gray, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge"
             )
         stab = warp_video_similarity(gray, fit["A"], fit["t"])
+        # Crop back to the original (h, w) before re-tracking: the re-track
+        # builds its query grid from the video shape, and a grid built from
+        # the padded shape drifts from the canonical make_query_grid(h, w)
+        # positions (bottom/right queries could even start past w-1/h-1 and
+        # lose visibility for the whole video).
+        if pad_h or pad_w:
+            stab = stab[:, :h, :w]
         out = self.__call__(stab, _allow_stabilize=False)
         mapped = apply_similarity(
             fit["A"], fit["t"], jnp.asarray(out["tracks"])
@@ -325,7 +349,7 @@ class PyramidalLKTracker:
         # The Pallas kernel needs window <= 7 and a frame of at least one
         # full (8, 128) register tile (Mosaic rejects narrower shapes).
         h, w = video_shape[1], video_shape[2]
-        if on_tpu and self.window <= 7 and min(h, w) >= 128:
+        if on_tpu and self.window <= 7 and min(h, w) * self.input_scale >= 128:
             return "pallas"
         return "cpu"
 
@@ -353,6 +377,7 @@ class PyramidalLKTracker:
             corr_iterations=self.corr_iterations,
             corr_accept=self.corr_accept,
             corr_rescue_level=self.corr_rescue_level,
+            input_scale=self.input_scale,
         )
         if backend == "pallas":
             from tdspa.kernels.lk import track_video_lk_pallas
@@ -457,6 +482,7 @@ class PyramidalLKTracker:
             corr_iterations=self.corr_iterations,
             corr_accept=self.corr_accept,
             corr_rescue_level=self.corr_rescue_level,
+            input_scale=self.input_scale,
             interpret=interpret,
         )
         queries = jnp.asarray(make_query_grid(h, w, self.grid_size))

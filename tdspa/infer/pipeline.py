@@ -208,6 +208,7 @@ class InferencePipeline:
         depth_output_scale: float = 1.0,
         depth_input_size: int = 518,
         gelu_approximate: bool = False,
+        tracking_input_scale: float = 1.0,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -238,6 +239,11 @@ class InferencePipeline:
         # measured on the DINO stage; ~1e-3 relative activation delta —
         # serving knob, see tdspa/features/vit.py::_Block).
         self.gelu_approximate = gelu_approximate
+        # 0.5 runs the LK tracker on half-resolution luma (drops the finest
+        # pyramid level's share of the kernel; serving knob — measured
+        # time/quality curve in docs/BENCHMARKS.md "Tracking input-scale
+        # knob"). Coordinates stay full-res throughout the pipeline.
+        self.tracking_input_scale = tracking_input_scale
         self.model = model or TrackAutoEncoder3D(
             num_output_frames=num_output_frames,
             use_dino=use_dino,
@@ -289,6 +295,7 @@ class InferencePipeline:
             self._track_provider = PyramidalLKTracker(
                 grid_size=self.tracking_grid_size, fb_threshold=-1.0,
                 iterations=3, matcher="auto",
+                input_scale=self.tracking_input_scale,
             )
         return self._track_provider
 

@@ -57,14 +57,14 @@ _BLOCK = 8
 @functools.partial(
     jax.jit, static_argnames=("rounds", "inlier_px", "min_inliers")
 )
-def fit_similarity_sequence(tracks, visible=None, rounds: int = 3,
+def fit_similarity_sequence(tracks, rounds: int = 3,
                             inlier_px: float = 2.0, min_inliers: int = 4):
     """Per-frame global similarity from tracks, robust + composed.
 
-    tracks: [N T 2] (x, y); visible ignored by default (the robust
-    reweighting prunes drifted points better than LK's occlusion labels
-    on collapsed content — the labels are exactly what's unreliable
-    there).
+    tracks: [N T 2] (x, y). Occlusion labels are deliberately not an
+    input: the robust reweighting prunes drifted points better than LK's
+    occlusion labels on collapsed content — the labels are exactly what's
+    unreliable there.
 
     Returns dict with:
       A [T 2 2], t [T 2]: frame-0 -> frame-t similarity (p_t = A p_0 + t),
@@ -220,20 +220,36 @@ def _paeth_rotate(frames, theta):
     return _shear_x_pass(out, a, z)
 
 
-@functools.partial(jax.jit, static_argnames=("max_single_deg",))
-def warp_video_similarity(video_gray, a_mat, t_vec, max_single_deg=45.0):
+MAX_WARP_ANGLE_DEG = 100.0
+"""Cumulative-roll budget of ``warp_video_similarity``.
+
+The unconditional angle-halving keeps each Paeth pass's shear residual
+within the 8-tap hat window up to ~150 deg, but the y-shear's column pad
+is fixed at 0.708*cy = sin(45 deg) — past |theta|/2 = 50 deg the shear
+displacement exceeds it and edge rows read padding (measured vs the
+gather oracle: clean to ~110 deg, 18% of valid pixels >20 gray-levels
+wrong at 150 deg). Callers must not warp beyond this budget; the
+tracker's escalation gate enforces it (tdspa/features/tracks.py
+STAB_MAX_ANGLE_DEG).
+"""
+
+
+@jax.jit
+def warp_video_similarity(video_gray, a_mat, t_vec):
     """Stabilize: out_t(p) = in_t(A_t p + t_t), gather-free.
 
     video_gray: [T H W] f32 (grayscale — the LK tracker and matcher both
     consume luma; warping one channel is a third of the traffic).
     a_mat [T 2 2] / t_vec [T 2]: the SIMILARITY p -> A p + t (A = s R).
+    Rotations are accurate up to |theta| <= MAX_WARP_ANGLE_DEG; beyond
+    that the fixed shear pad is exceeded and border content corrupts.
 
     Decomposition: A p + t = s R (p + R^-1 t / s). Translation and scale
     go through jax.image.scale_and_translate (separable, matmul-lowered);
-    rotation through Paeth shears, angle-halved into two applications
-    when any |theta_t| > max_single_deg so shear coefficients stay within
-    the tap budget. H and W must be multiples of 8 (pipeline frames are;
-    callers pad otherwise).
+    rotation through Paeth shears, always angle-halved into two
+    applications so shear coefficients stay within the tap budget.
+    H and W must be multiples of 8 (pipeline frames are; callers pad
+    otherwise).
     """
     t, h, w = video_gray.shape
     frames = jnp.asarray(video_gray, jnp.float32)

@@ -190,3 +190,33 @@ def test_pipeline_quantized_model_runs():
     preds = pipe.run_on_frames(_video())["predictions"]
     assert preds.tracks.shape == (1, 6, T, 3)
     assert np.isfinite(np.asarray(preds.tracks)).all()
+
+
+def test_pipeline_tracking_input_scale_knob():
+    """The half-res tracking serving knob plumbs through the pipeline: the
+    lazily-built LK tracker carries input_scale, and a run produces finite,
+    full-res-coordinate outputs on a moving synthetic scene."""
+    from tdspa.utils.synthetic_video import make_tracking_scene
+
+    video, _, _ = make_tracking_scene(
+        seed=3, num_frames=T, height=160, width=256, grid_size=4
+    )
+    model = tiny_model_3d(T, use_dino=False, use_depth=True)
+    pipe = InferencePipeline(
+        num_output_frames=T,
+        use_dino=False,
+        use_depth=True,
+        num_query_points=6,
+        num_support_tracks=8,
+        tracking_grid_size=4,
+        depth_provider=ConstantDepthProvider(),
+        model=model,
+        tracking_input_scale=0.5,
+    )
+    assert pipe.track_provider.input_scale == 0.5
+    results = pipe.run_on_frames(video)
+    assert np.isfinite(np.asarray(results["tracks_3d"])).all()
+    # Full-res pixel coordinates out of the tracker: the 4x4 grid spans the
+    # 256-wide frame (max center 224), not the 128-wide half-res one.
+    track_out = pipe.track_provider(video)
+    assert np.asarray(track_out["tracks"])[..., 0].max() > 129.0

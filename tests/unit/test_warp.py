@@ -208,3 +208,73 @@ class TestWarpVideoSimilarity:
             mask &= _valid_source_mask(h, w, a_mat[f], t_vec[f])
             err = np.abs(stab[f] - frame0)[mask]
             assert err.mean() < 2.5, (f, err.mean())
+
+
+class TestStabilizationBudget:
+    """Regression tests for the ADVICE-r4 findings: the warp's cumulative-
+    roll budget must be enforced by the tracker gate, and the stabilized
+    re-track must see the ORIGINAL (h, w) frame, not the %8-padded one."""
+
+    def _rotating_tracks(self, deg_per_frame, num_frames, n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        p0 = rng.uniform(30, 200, (n, 2)).astype(np.float32)
+        ctr = np.asarray([128.0, 96.0], np.float32)
+        th = np.deg2rad(deg_per_frame) * np.arange(num_frames)
+        rot = np.stack(
+            [
+                np.stack([np.cos(th), -np.sin(th)], -1),
+                np.stack([np.sin(th), np.cos(th)], -1),
+            ],
+            -2,
+        ).astype(np.float32)
+        return np.einsum("tij,nj->nti", rot, p0 - ctr) + ctr
+
+    def test_gate_declines_past_warp_budget(self):
+        """120-deg cumulative roll exceeds MAX_WARP_ANGLE_DEG: the gate
+        must return None (a corrupted stabilized re-track would silently
+        replace the classical result — ADVICE r4, warp.py:224)."""
+        from tdspa.features.tracks import (
+            STAB_MAX_ANGLE_DEG,
+            PyramidalLKTracker,
+        )
+        from tdspa.ops.warp import MAX_WARP_ANGLE_DEG
+
+        assert STAB_MAX_ANGLE_DEG <= MAX_WARP_ANGLE_DEG
+        tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+        over = self._rotating_tracks(5.0, 25)  # 120 deg cumulative
+        assert tracker._maybe_stabilize(over) is None
+        under = self._rotating_tracks(2.5, 24)  # 57.5 deg: engages
+        assert tracker._maybe_stabilize(under) is not None
+
+    def test_retrack_sees_original_frame_shape(self, monkeypatch):
+        """Non-%8 frames are padded for the warp; the re-track must run on
+        the CROPPED original (h, w) so its query grid matches
+        make_query_grid(h, w) (ADVICE r4, tracks.py:263)."""
+        from tdspa.features.tracks import PyramidalLKTracker
+
+        t, h, w = 4, 100, 108  # pad_h=4, pad_w=4
+        video = np.repeat(
+            _smooth_video(t, 104, 112, seed=3)[:, :h, :w, None], 3, axis=-1
+        ).astype(np.float32)
+        a_mat, t_vec = _similarity_sequence(
+            t, np.zeros(t), np.ones(t), np.zeros((t, 2))
+        )
+        fit = {"A": jnp.asarray(a_mat), "t": jnp.asarray(t_vec)}
+
+        seen = []
+        n = 9
+
+        def fake_call(self, vid, _allow_stabilize=True):
+            seen.append((tuple(np.shape(vid)), _allow_stabilize))
+            return {
+                "tracks": np.zeros((n, t, 2), np.float32),
+                "visible": np.ones((n, t, 1), np.float32),
+            }
+
+        monkeypatch.setattr(PyramidalLKTracker, "__call__", fake_call)
+        tracker = PyramidalLKTracker(grid_size=3, device="cpu", matcher="auto")
+        out = tracker._stabilized_result(video, fit)
+        assert seen == [((t, h, w), False)], seen
+        assert out["tracks"].shape == (n, t, 2)
+        # Identity fit: mapped-back positions unchanged, visibility kept.
+        assert np.all(out["visible"] == 1.0)
