@@ -42,6 +42,16 @@ flags.DEFINE_enum(
     "the checkpoint (see tdspa.infer.checkpoint.adapt_reference_projections)",
 )
 
+flags.DEFINE_bool(
+    "debug_nans", False,
+    "Enable jax_debug_nans: any op producing a NaN raises with a traceback "
+    "(re-runs the offending computation op-by-op; debug only)",
+)
+flags.DEFINE_bool(
+    "tiny_model", False,
+    "Use the tiny 3DSPA config (smoke tests / CI; checkpoint must match)",
+)
+
 
 def _split_files(source: str) -> list | None:
     try:
@@ -70,6 +80,10 @@ def main(argv):
     from tdspa.utils.cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()  # warm starts (ROADMAP r2 #9)
+    if FLAGS.debug_nans:
+        from tdspa.utils.debug import enable_debug_nans
+
+        enable_debug_nans()  # SURVEY §5 sanitizers row
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
 
     logging.info("Loading checkpoint from %s", FLAGS.checkpoint_path)
@@ -77,7 +91,20 @@ def main(argv):
         FLAGS.checkpoint_path, projection_policy=FLAGS.projection_policy
     )
 
+    model = None  # evaluate_model builds the full-size 3DSPA by default
+    if FLAGS.tiny_model:
+        from tdspa.utils.testing import tiny_model_3d
+
+        model = tiny_model_3d(
+            FLAGS.num_output_frames,
+            use_dino=FLAGS.use_dino,
+            use_depth=FLAGS.use_depth,
+        )
+
     all_metrics = {}
+    splits_used = {}  # recorded in results.json: fallback runs evaluate a
+    # DIFFERENT population (all files vs the tapnet minival/full_eval split)
+    # and must be distinguishable downstream.
     for source in FLAGS.data_sources:
         logging.info("Evaluating on %s", source)
         source_dir = os.path.join(FLAGS.dataset_path, source)
@@ -89,12 +116,16 @@ def main(argv):
                 i for i, f in enumerate(provider.files)
                 if os.path.basename(f) in wanted
             ]
+            splits_used[source] = (
+                "minival" if FLAGS.use_minival else "full_eval"
+            )
         else:
             logging.info(
                 "tapnet splits unavailable; evaluating all %d files",
                 len(provider.files),
             )
             indices = range(len(provider.files))
+            splits_used[source] = "all_files"
 
         all_metrics[source] = evaluate_model(
             params,
@@ -105,6 +136,7 @@ def main(argv):
             depth_scalings=FLAGS.depth_scalings,
             track_bucket=FLAGS.track_bucket,
             batch_size=FLAGS.batch_size,
+            model=model,
         )
         for scaling in FLAGS.depth_scalings:
             logging.info("  %s / %s:", source, scaling)
@@ -125,7 +157,14 @@ def main(argv):
 
     results_file = os.path.join(FLAGS.output_dir, "results.json")
     with open(results_file, "w") as f:
-        json.dump({"per_source": all_metrics, "overall": overall}, f, indent=2)
+        # "split" is an additive field over the reference schema
+        # (docs/PARITY.md): "minival" | "full_eval" | "all_files" per source.
+        json.dump(
+            {"per_source": all_metrics, "overall": overall,
+             "split": splits_used},
+            f,
+            indent=2,
+        )
     logging.info("Results saved to %s", results_file)
 
 

@@ -47,6 +47,11 @@ flags.DEFINE_bool(
     "TPU mixed-precision training recipe; same checkpoint layout)",
 )
 flags.DEFINE_bool("use_wandb", True, "Log to WandB when available")
+flags.DEFINE_bool(
+    "debug_nans", False,
+    "Enable jax_debug_nans: any op producing a NaN raises with a traceback "
+    "(re-runs the offending computation op-by-op; debug only)",
+)
 flags.DEFINE_string("log_jsonl", None, "Also append metrics to this JSONL file")
 flags.DEFINE_integer("num_support_tracks", 2048, "Support tracks per example")
 flags.DEFINE_integer("num_query_tracks", 2048, "Query tracks per example")
@@ -77,6 +82,10 @@ def main(argv):
     from tdspa.utils.cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()  # warm starts (ROADMAP r2 #9)
+    if FLAGS.debug_nans:
+        from tdspa.utils.debug import enable_debug_nans
+
+        enable_debug_nans()  # SURVEY §5 sanitizers row
     maybe_initialize_distributed()  # multi-host (DCN) when launched as such
     # No explicit dataset: use ./data if present, else synthetic tracks
     # (an explicit non-directory path means a tfds builder name and errors

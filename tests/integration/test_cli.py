@@ -74,25 +74,20 @@ def test_evaluate_cli_synthetic(tmp_path):
     ckpt = tmp_path / "tiny_ckpt.npz"
     save_checkpoint_npz(str(ckpt), variables["params"])
 
-    # The CLI builds the full-size model by default; full-size x synthetic is
-    # too slow for CI, so drive the harness path the CLI wraps in-process,
-    # then the CLI's aggregation/schema with the same functions.
-    from tdspa.eval.harness import aggregate_metrics, evaluate_video
-    from tdspa.infer.checkpoint import load_checkpoint
-
-    params = load_checkpoint(str(ckpt))
-    per_video = [
-        evaluate_video(params, NpzDirectoryProvider(str(source_dir))[i],
-                       num_output_frames=10, depth_scalings=("median",),
-                       track_bucket=8, model=model)
-        for i in range(2)
-    ]
-    agg = aggregate_metrics(per_video, ("median",))
-    results = {"per_source": {"mysource": agg}, "overall": agg}
-    out = tmp_path / "results.json"
-    out.write_text(json.dumps(results, indent=2))
-    loaded = json.loads(out.read_text())
+    # Drive the REAL CLI end-to-end with the tiny config.
+    res = _run([
+        "tdspa.cli.evaluate", f"--checkpoint_path={ckpt}",
+        f"--dataset_path={tmp_path}/data", f"--output_dir={tmp_path}/out",
+        "--data_sources=mysource", "--num_output_frames=10",
+        "--track_bucket=8", "--nouse_dino", "--nouse_depth", "--tiny_model",
+        "--depth_scalings=median",
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    loaded = json.loads((tmp_path / "out" / "results.json").read_text())
     assert "average_jaccard" in loaded["per_source"]["mysource"]["median"]
+    # The evaluated population is recorded (additive field, docs/PARITY.md):
+    # tapnet splits are unavailable here, so the fallback must be explicit.
+    assert loaded["split"] == {"mysource": "all_files"}
 
 
 def test_visualize_cli(tmp_path):

@@ -28,3 +28,22 @@ def test_cache_explicit_path(monkeypatch, tmp_path):
 def test_cache_opt_out(monkeypatch):
     monkeypatch.setenv("TDSPA_NO_COMPILE_CACHE", "1")
     assert enable_persistent_compilation_cache() is None
+
+
+def test_debug_nans_toggle():
+    """--debug_nans (SURVEY §5 sanitizers): under jax_debug_nans a
+    NaN-producing jitted op raises instead of propagating."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from tdspa.utils.debug import enable_debug_nans
+
+    f = jax.jit(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x - 2.0))
+    try:
+        enable_debug_nans(True)
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(f(jnp.asarray(1.0)))
+    finally:
+        enable_debug_nans(False)
+    assert jnp.isnan(f(jnp.asarray(1.0)))
