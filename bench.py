@@ -174,6 +174,11 @@ def measure_e2e():
     # the depth stage and scales ~quadratically with side length).
     # Default 518 keeps the exact reference input.
     depth_input = int(os.environ.get("BENCH_DEPTH_INPUT", "518"))
+    # BENCH_TRACK_GRID=56: tracking grid side (kernel time scales with
+    # grid^2; the model still receives the full 2048-support/512-query
+    # split as long as grid^2 >= 2560 — serving knob, measured -21% on
+    # the tracking stage at 56 vs the reference's 64).
+    track_grid = int(os.environ.get("BENCH_TRACK_GRID", "64"))
 
     def make_pipeline(chunk):
         return InferencePipeline(
@@ -182,9 +187,9 @@ def measure_e2e():
             use_depth=True,
             num_query_points=512,
             num_support_tracks=2048,
-            tracking_grid_size=64,
+            tracking_grid_size=track_grid,
             track_provider=PyramidalLKTracker(
-                grid_size=64, fb_threshold=-1.0, iterations=3,
+                grid_size=track_grid, fb_threshold=-1.0, iterations=3,
             ),
             depth_provider=VideoDepthEstimator(
                 encoder="vitb",

@@ -514,6 +514,7 @@ def make_training_scenes(
     grid_size: int = 10,
     deform_amp_max: float = 0.0,
     rot_rate_max: float = 0.0,
+    natural_frac: float = 0.0,
 ):
     """Degradation-randomized synthetic scenes with exact ground truth.
 
@@ -528,8 +529,15 @@ def make_training_scenes(
 
     ``rot_rate_max`` > 0 adds camera roll (rad/frame ~ U(0, max)) to every
     third scene — the benchmark's rotation regimes are otherwise absent
-    from training. Both knobs draw from the rng ONLY when enabled so
+    from training. All knobs draw from the rng ONLY when enabled so
     disabled runs regenerate the shipped weights' scene distribution.
+
+    ``natural_frac`` > 0 renders that fraction of scenes with the
+    multi-octave ~1/f "natural" texture (+ a random camera-response gamma
+    in [1.6, 2.4]) — the photographic-statistics regime where the
+    cells-trained matcher measured WORSE than classical LK on noisy
+    low-contrast content (pts-within-2 0.162 vs 0.252 — round-5 gate
+    stress test, docs/BENCHMARKS.md "Natural-statistics scenes").
     """
     from tdspa.utils.synthetic_video import make_tracking_scene
 
@@ -560,6 +568,14 @@ def make_training_scenes(
                 float(rng.uniform(0.0, rot_rate_max))
                 if (rot_rate_max > 0.0 and i % 3 == 2)
                 else 0.0
+            ),
+            **(
+                {
+                    "texture": "natural",
+                    "camera_gamma": float(rng.uniform(1.6, 2.4)),
+                }
+                if (natural_frac > 0.0 and rng.uniform() < natural_frac)
+                else {}
             ),
         )
         scenes.append((video, tracks, visible))
@@ -852,12 +868,19 @@ if __name__ == "__main__":
                          "scene) — the bank's learned selection needs "
                          "deforming scenes to see when fresh templates beat "
                          "frame 0; 0 disables")
+    ap.add_argument("--natural_frac", type=float, default=0.5,
+                    help="fraction of scenes with the multi-octave 'natural' "
+                         "texture + camera-response gamma (photographic-"
+                         "statistics regime; 0 regenerates the round-4 "
+                         "cells-only distribution)")
     args = ap.parse_args()
     scene_kwargs = {"num_frames": args.num_frames}
     if args.rot_rate_max_deg > 0.0:
         scene_kwargs["rot_rate_max"] = float(np.deg2rad(args.rot_rate_max_deg))
     if args.deform_amp_max > 0.0:
         scene_kwargs["deform_amp_max"] = args.deform_amp_max
+    if args.natural_frac > 0.0:
+        scene_kwargs["natural_frac"] = args.natural_frac
     p, train_log = train_matcher(
         jax.random.PRNGKey(args.seed), steps=args.steps, bank=args.bank,
         iterations=args.iterations, occlusion_weight=args.occlusion_weight,

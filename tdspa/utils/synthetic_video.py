@@ -28,6 +28,33 @@ def _texture(rng, height, width, cell: int = 4) -> np.ndarray:
     )
 
 
+def _natural_texture(rng, height, width) -> np.ndarray:
+    """[H W 3] uint8: multi-octave value noise with a ~1/f spectrum.
+
+    Natural images have power-law spatial statistics — smooth large-scale
+    gradients with progressively weaker fine detail — unlike the cell
+    texture's uniformly strong 4-px edges. This is the photographic-
+    statistics stress regime for the tracker's appearance checks and the
+    auto-gate thresholds (VERDICT r4 "harden the synthetic benchmark"):
+    local contrast varies across the frame, so some windows are
+    near-textureless while others are sharp.
+    """
+    img = np.zeros((height, width, 3), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    amp = 1.0
+    for octave in range(6):
+        cell = max(4, 128 >> octave)  # 128, 64, 32, 16, 8, 4 px wavelengths
+        gh, gw = height // cell + 2, width // cell + 2
+        grid = rng.normal(0.0, 1.0, (gh, gw, 3)).astype(np.float32)
+        img += amp * _bilinear(grid, xx / cell, yy / cell)
+        amp *= 0.55  # ~1/f amplitude ladder
+    # Per-channel normalize, then a film-like s-curve (soft shoulders).
+    img -= img.mean(axis=(0, 1))
+    img /= img.std(axis=(0, 1)) + 1e-6
+    img = np.tanh(img * 0.8)
+    return np.clip((img * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+
+
 def _deform_field(shape_xy, t, amp, cycles, period, phases, zoom_rate=0.0,
                   rot_rate=0.0):
     """Smooth displacement D(x, y, t) -> (dx, dy), zero at t = 0.
@@ -153,8 +180,19 @@ def make_tracking_scene(
     rot_rate: float = 0.0,
     jpeg_quality: int = 0,
     motion_blur: int = 0,
+    texture: str = "cells",
+    camera_gamma: float = 1.0,
 ):
     """Render a scene and its exact tracking ground truth.
+
+    ``texture``: "cells" (piecewise-constant 4-px color cells — uniformly
+    strong LK texture) or "natural" (multi-octave ~1/f value noise — the
+    photographic-statistics regime: smooth large-scale gradients, spatially
+    varying local contrast, near-textureless patches).
+    ``camera_gamma``: != 1 applies a camera response curve
+    ``255 * (v/255)^(1/gamma)`` to the final pixels (photometric only —
+    compresses highlight/shadow contrast the way real sensor pipelines do;
+    GT geometry unchanged).
 
     ``pan``: integer camera velocity (px/frame). The background renders
     from an oversized texture through a window moving by ``pan`` each
@@ -196,9 +234,14 @@ def make_tracking_scene(
       visible: [N T] bool ground-truth visibility.
     """
     rng = np.random.default_rng(seed)
+    if texture not in ("cells", "natural"):
+        raise ValueError(f"texture must be 'cells' or 'natural', got {texture}")
+    make_tex = _texture if texture == "cells" else (
+        lambda rng_, h, w, cell=4: _natural_texture(rng_, h, w)
+    )
     pan_x, pan_y = int(pan[0]), int(pan[1])
     pad_x, pad_y = abs(pan_x) * (num_frames - 1), abs(pan_y) * (num_frames - 1)
-    big_bg = _texture(rng, height + pad_y, width + pad_x)
+    big_bg = make_tex(rng, height + pad_y, width + pad_x)
     bg_x0 = pad_x if pan_x < 0 else 0
     bg_y0 = pad_y if pan_y < 0 else 0
 
@@ -210,7 +253,7 @@ def make_tracking_scene(
     # Sprites: (texture, x0, y0, vx, vy), painted in list order (later on top).
     sprites = []
     for s in range(num_sprites):
-        tex = _texture(rng, sprite_size, sprite_size, cell=4)
+        tex = make_tex(rng, sprite_size, sprite_size, cell=4)
         # Start in-frame, velocities +/-{1..3} px/frame, guaranteed nonzero.
         x0 = int(rng.integers(0, width - sprite_size))
         y0 = int(rng.integers(0, height - sprite_size))
@@ -254,7 +297,7 @@ def make_tracking_scene(
 
     if (
         contrast != 1.0 or noise_sigma > 0.0 or gain_flicker > 0.0
-        or jpeg_quality > 0 or motion_blur > 0
+        or jpeg_quality > 0 or motion_blur > 0 or camera_gamma != 1.0
     ):
         v = video.astype(np.float32)
         if motion_blur > 0:
@@ -280,6 +323,12 @@ def make_tracking_scene(
             v = v + rng.normal(0.0, noise_sigma, v.shape)
         if jpeg_quality > 0:
             v = _jpeg_like(np.clip(v, 0, 255), jpeg_quality)
+        if camera_gamma != 1.0:
+            # Sensor/display response: applied last, like a real pipeline
+            # (noise passes through the curve with the signal).
+            v = 255.0 * np.power(
+                np.clip(v, 0, 255) / 255.0, 1.0 / float(camera_gamma)
+            )
         video = np.clip(v, 0, 255).astype(np.uint8)
 
     def topmost_surface(x, y, t):
