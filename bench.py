@@ -58,6 +58,11 @@ def measure_decode():
     T, N_SUPPORT, N_QUERY = 150, 2048, 512
     fused = os.environ.get("BENCH_FUSED", "1") == "1"
     quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    # BENCH_FUSED_BLOCK=1: whole-block Pallas kernel for the unmasked
+    # self-attention stacks — measured 3.3x SLOWER than the shipped XLA
+    # path at decode shapes (docs/BENCHMARKS.md "Fused transformer-block
+    # kernel"); kept as the recorded-negative toggle.
+    fused_block = os.environ.get("BENCH_FUSED_BLOCK", "0") == "1"
     # Residual-stream dtype. Default bf16 — the serving configuration
     # (halves the decoder's elementwise/HBM traffic, ~0.6% relative output
     # error; measured +22% decode rate — docs/BENCHMARKS.md "Residual
@@ -69,7 +74,7 @@ def measure_decode():
     )
     model = TrackAutoEncoder3D(
         num_output_frames=T, dtype=jnp.bfloat16, fused_attention=fused,
-        quantize=quant, residual_dtype=resid,
+        quantize=quant, residual_dtype=resid, fused_block=fused_block,
     )
     batch = synthetic_batch(
         jax.random.PRNGKey(0),
@@ -179,6 +184,7 @@ def measure_e2e():
     # split as long as grid^2 >= 2560 — serving knob, measured -21% on
     # the tracking stage at 56 vs the reference's 64).
     track_grid = int(os.environ.get("BENCH_TRACK_GRID", "64"))
+    fused_block = os.environ.get("BENCH_FUSED_BLOCK", "0") == "1"
 
     def make_pipeline(chunk):
         return InferencePipeline(
@@ -201,6 +207,7 @@ def measure_e2e():
             upload_chunk_frames=chunk,
             residual_dtype=resid,
             gelu_approximate=fast_gelu,
+            fused_block=fused_block,
         )
 
     def median3(run, prep=lambda v: v):

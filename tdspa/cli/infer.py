@@ -32,6 +32,13 @@ flags.DEFINE_bool(
     "(halves decoder elementwise/HBM traffic; ~0.6% relative output error "
     "vs the reference's f32 residual — see docs/BENCHMARKS.md)",
 )
+flags.DEFINE_bool(
+    "fused_block", False,
+    "Whole-block Pallas kernel for the unmasked self-attention stacks. "
+    "Measured 3.3x SLOWER than the default XLA path at decode shapes — "
+    "recorded-negative toggle (docs/BENCHMARKS.md 'Fused "
+    "transformer-block kernel')",
+)
 flags.DEFINE_float(
     "tracking_input_scale", 1.0,
     "LK tracker luma resolution factor (1.0 or 0.5). 0.5 drops the finest "
@@ -188,6 +195,7 @@ def main(argv):
         depth_input_size=FLAGS.depth_input_size,
         gelu_approximate=FLAGS.fast_gelu,
         tracking_input_scale=FLAGS.tracking_input_scale,
+        fused_block=FLAGS.fused_block,
     )
     results = pipeline.run(FLAGS.video_path)
     save_results(results, FLAGS.output_dir)

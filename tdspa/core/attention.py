@@ -204,6 +204,35 @@ class QKNormAttention(nn.Module):
         return out.astype(self.residual_dtype)
 
 
+def _fused_block_applicable(module, queries, inputs_kv, qq_mask, qk_mask):
+    """Whole-block Pallas path: inference-only, self-attention, no masks."""
+    if (
+        module.is_initializing()  # init must create params via the XLA path
+        or inputs_kv is not None
+        or qq_mask is not None
+        or qk_mask is not None
+        or module.quantize
+    ):
+        return False
+    from tdspa.kernels import attention as _ka
+
+    if (
+        jax.default_backend() not in ("tpu", "axon")
+        and not _ka.INTERPRET_DEFAULT
+    ):
+        return False
+    from tdspa.kernels.block import fused_block_fits
+
+    batch = 1
+    for d in queries.shape[:-2]:
+        batch *= d
+    s, c = queries.shape[-2:]
+    return batch > 0 and fused_block_fits(
+        batch, s, c, module.num_heads, module.qkv_size // module.num_heads,
+        module.mlp_size,
+    )
+
+
 class ParallelTransformerBlock(nn.Module):
     """Pre-LN block with parallel self- + cross-attention into one residual."""
 
@@ -214,6 +243,16 @@ class ParallelTransformerBlock(nn.Module):
     use_fused: bool = False
     quantize: bool = False
     residual_dtype: Any = jnp.float32  # see QKNormAttention.residual_dtype
+    # Whole-block Pallas kernel for the unmasked self-attention case (the
+    # decode hot path): keeps the layer's residual stream VMEM-resident,
+    # eliminating the ~3 GB/layer of LayerNorm/residual/GELU HBM traffic
+    # the decode profile showed as the non-matmul floor. MEASURED
+    # NEGATIVE at decode shapes (3.3x slower than the XLA path — Mosaic's
+    # no-lane-reshape rule forces per-head short matmuls that waste the
+    # MXU; docs/BENCHMARKS.md "Fused transformer-block kernel"); kept as
+    # a recorded-negative toggle. Inference-only; falls back to the XLA
+    # path for init/training/masked/cross/quantized calls.
+    fused_block: bool = False
 
     def _dense(self, features, name):
         if self.quantize:
@@ -230,6 +269,22 @@ class ParallelTransformerBlock(nn.Module):
         qq_mask=None,
         qk_mask=None,
     ):
+        if self.fused_block and _fused_block_applicable(
+            self, queries, inputs_kv, qq_mask, qk_mask
+        ):
+            from tdspa.kernels import attention as _ka
+            from tdspa.kernels.block import fused_transformer_block
+
+            # Apply-time only (init runs the XLA path below and creates the
+            # standard param tree); the kernel consumes this block's own
+            # subtree directly.
+            return fused_transformer_block(
+                queries,
+                self.variables["params"],
+                self.num_heads,
+                interpret=_ka.INTERPRET_DEFAULT,
+                out_dtype=self.residual_dtype,
+            )
         width = queries.shape[-1]
         # Norm statistics are always f32 (flax promotes internally); the
         # OUTPUT dtype follows the residual stream.
@@ -288,6 +343,7 @@ class TransformerStack(nn.Module):
     use_fused: bool = False
     quantize: bool = False
     residual_dtype: Any = jnp.float32  # see QKNormAttention.residual_dtype
+    fused_block: bool = False  # see ParallelTransformerBlock.fused_block
 
     @nn.compact
     def __call__(
@@ -315,6 +371,7 @@ class TransformerStack(nn.Module):
                 use_fused=self.use_fused,
                 quantize=self.quantize,
                 residual_dtype=self.residual_dtype,
+                fused_block=self.fused_block,
                 name=f"layer_{i}",
             )(queries, inputs_kv=inputs_kv, qq_mask=qq_mask, qk_mask=qk_mask)
 

@@ -209,6 +209,7 @@ class InferencePipeline:
         depth_input_size: int = 518,
         gelu_approximate: bool = False,
         tracking_input_scale: float = 1.0,
+        fused_block: bool = False,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -262,6 +263,10 @@ class InferencePipeline:
             # traffic (the profiled non-matmul floor — docs/BENCHMARKS.md
             # "Residual dtype"); default keeps the reference's f32 residual.
             residual_dtype=self.residual_dtype,
+            # Whole-block Pallas kernel for the unmasked self-attention
+            # stacks (decode hot path) — inference-only serving knob
+            # (docs/BENCHMARKS.md "Fused transformer-block kernel").
+            fused_block=fused_block,
         )
         self._mesh_tail = None
         self._track_provider = track_provider

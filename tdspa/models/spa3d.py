@@ -81,6 +81,10 @@ class TrackAutoEncoder3D(nn.Module):
     # time (docs/BENCHMARKS.md "Decode profile"). Inference-path knob; the
     # param tree is unchanged.
     residual_dtype: Any = jnp.float32
+    # Whole-block Pallas kernel for unmasked self-attention stacks (the
+    # decode hot path; see tdspa/core/attention.py ParallelTransformerBlock
+    # .fused_block). Inference-only knob; same param tree.
+    fused_block: bool = False
 
     # Transformer stack shapes. Defaults match the reference exactly
     # (track_autoencoder_3d.py:89-112); exposed as config for scaling
@@ -123,6 +127,7 @@ class TrackAutoEncoder3D(nn.Module):
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.tracks_to_latents = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -131,6 +136,7 @@ class TrackAutoEncoder3D(nn.Module):
             use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.decompress_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -138,6 +144,7 @@ class TrackAutoEncoder3D(nn.Module):
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.track_readout_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -145,6 +152,7 @@ class TrackAutoEncoder3D(nn.Module):
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.query_encoder = nn.Dense(self.decoder_num_channels, dtype=self.dtype)
         self.track_predictor = nn.Dense(self.num_output_frames * 4, dtype=self.dtype)

@@ -130,6 +130,10 @@ class TrackAutoEncoder(nn.Module):
     # Residual-stream activation dtype (f32 default = reference numerics;
     # bf16 halves residual/elementwise HBM traffic — inference-path knob).
     residual_dtype: Any = jnp.float32
+    # Whole-block Pallas kernel for unmasked self-attention stacks (the
+    # decode hot path; see tdspa/core/attention.py ParallelTransformerBlock
+    # .fused_block). Inference-only knob; same param tree.
+    fused_block: bool = False
 
     # Transformer stack shapes. Defaults match the reference exactly
     # (track_autoencoder.py:148-171); exposed as config for scaling studies
@@ -166,6 +170,7 @@ class TrackAutoEncoder(nn.Module):
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.tracks_to_latents = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -174,6 +179,7 @@ class TrackAutoEncoder(nn.Module):
             use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.decompress_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -181,6 +187,7 @@ class TrackAutoEncoder(nn.Module):
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.track_readout_attn = TransformerStack(
             qkv_size=self.qkv_size, num_heads=self.num_heads,
@@ -188,6 +195,7 @@ class TrackAutoEncoder(nn.Module):
             dtype=self.dtype, use_fused=self.fused_attention,
             quantize=self.quantize,
             residual_dtype=self.residual_dtype,
+            fused_block=self.fused_block,
         )
         self.query_encoder = nn.Dense(self.decoder_num_channels, dtype=self.dtype)
         self.track_predictor = nn.Dense(
