@@ -41,6 +41,18 @@ REGIMES = {
     "jpeg_mild": (dict(jpeg_quality=60), (410,)),
     "motion_blur": (dict(motion_blur=1), (420, 421)),
     "blur_noise": (dict(motion_blur=1, noise_sigma=12.0), (430,)),
+    # Natural-statistics regimes (round 5: multi-octave ~1/f texture +
+    # camera response — the photographic regime where the cells-trained
+    # round-4 matcher measured WORSE than classical LK; docs/BENCHMARKS.md
+    # "Natural-statistics scenes"):
+    "nat_clean": (dict(texture="natural"), (500, 501)),
+    "nat_degraded": (dict(noise_sigma=10.0, contrast=0.7,
+                          texture="natural"), (510, 511)),
+    "nat_zoom": (dict(noise_sigma=10.0, contrast=0.7, zoom_rate=0.02,
+                      texture="natural"), (520,)),
+    "nat_gamma": (dict(noise_sigma=10.0, contrast=0.7, texture="natural",
+                       camera_gamma=2.2), (530,)),
+    "nat_deform": (dict(deform_amp=3.0, texture="natural"), (540,)),
 }
 
 KEYS = ("pts_within_2", "visibility_accuracy", "occlusion_recall",

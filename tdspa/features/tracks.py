@@ -43,6 +43,24 @@ STAB_MIN_INLIER = 0.5
 # replace the classical result, so the gate declines to escalate.
 STAB_MAX_ANGLE_DEG = 100.0
 
+# Denoise escalation (auto mode): when the pass is STILL collapsed after
+# the motion rescue AND the frames actually look noisy, re-track on
+# Gaussian-smoothed luma (tdspa/ops/filters.py). Heavy sensor noise over
+# weak natural-statistics texture swamps LK's fine-scale gradients (the
+# normal equations go noise-dominated; measured: natural texture dies at
+# estimated noise ~7 where cell texture survives to ~12) — smoothing
+# trades sub-pixel locking for recovered signal. Measured on the
+# natural/degraded scene: pts-within-2 0.25 -> 0.46, visibility accuracy
+# 0.12 -> 0.77 (docs/BENCHMARKS.md "Natural-statistics scenes").
+AUTO_DENOISE_SIGMA = 3.0
+# Engage only when estimated sensor noise is material — a clean scene
+# whose points genuinely left the frame keeps its honest visibility.
+AUTO_DENOISE_MIN_NOISE = 4.0
+# Keep bar (occluded-marking drop); 5x the motion rescue's 0.02 because
+# blur also RELAXES the NCC acceptance checks, so a small drop is not by
+# itself evidence of recovered signal.
+AUTO_DENOISE_MIN_DROP = 0.1
+
 
 def make_query_grid(height: int, width: int, grid_size: int) -> np.ndarray:
     """[grid_size^2, 2] (x, y) half-pixel-centered query grid at frame 0.
@@ -157,7 +175,8 @@ class PyramidalLKTracker:
         self.matcher_vis_threshold = matcher_vis_threshold
         self.device = device
 
-    def _matcher_for(self, video, lk_visible=None, rescue_drop=0.0):
+    def _matcher_for(self, video, lk_visible=None, rescue_drop=0.0,
+                     denoised=False):
         """The matcher params to apply for THIS video (None = don't).
 
         lk_visible: the classical pass's visibility output ([N T] or
@@ -169,19 +188,29 @@ class PyramidalLKTracker:
         fixed — the appearance matcher is not engaged on collapse grounds
         (measured: on fast pan the rescued classical visibility is more
         accurate than the matcher's, 0.81 vs 0.66).
+        denoised: an accepted denoised re-track (see _maybe_denoise)
+        SUPPRESSES the matcher: the blur recovery is the final answer.
+        Measured on the natural/degraded scene: the cells-trained round-4
+        matcher refining the denoised tracks on the original noisy frames
+        collapses the result right back (0.46 pts-within-2 -> 0.17 — its
+        cost patches are off-distribution there), while the denoised
+        classical pass holds 0.46 / 0.77 visibility accuracy.
         """
         if self.matcher is None:
             return None
         if not isinstance(self.matcher, str):
             return self.matcher
         # 'auto' mode: photometric degradation OR unrescued tracking
-        # collapse.
+        # collapse; an engaged denoise escalation suppresses both.
         from tdspa.features.matcher import estimate_degradation, load_matcher
 
-        engage = estimate_degradation(video)["degraded"] or (
-            lk_visible is not None
-            and rescue_drop < 0.1
-            and self._collapse_engage(lk_visible)
+        engage = not denoised and (
+            estimate_degradation(video)["degraded"]
+            or (
+                lk_visible is not None
+                and rescue_drop < 0.1
+                and self._collapse_engage(lk_visible)
+            )
         )
         if not engage:
             return None
@@ -221,6 +250,56 @@ class PyramidalLKTracker:
         if drop > 0.02:
             return rescued_tracks, rescued_visible, drop
         return tracks, visible, 0.0
+
+    def _maybe_denoise(self, retrack, video, kwargs, tracks, visible,
+                       noise_sigma=None):
+        """Auto-mode escalation for APPEARANCE-driven collapse: re-track
+        on Gaussian-smoothed luma.
+
+        The motion rescue is appearance-blind — heavy noise over weak
+        (natural-statistics) texture defeats it because the SIGNAL is
+        gone at the finest scale, not the motion model (measured:
+        rescue drop ~0 on the natural/degraded scene while a sigma-3
+        pre-blur re-track recovers pts-within-2 0.25 -> 0.46 and
+        visibility accuracy 0.12 -> 0.77). Engages only when (a) the
+        pass is STILL collapsed after the rescue, and (b) the frames
+        actually look noisy (>= AUTO_DENOISE_MIN_NOISE); kept only when
+        occluded-marking drops by > AUTO_DENOISE_MIN_DROP. Positions are
+        measured on smoothed frames at full resolution, so they map back
+        1:1 — no coordinate transform needed.
+
+        retrack: callable(video_like, kwargs) -> (tracks, visible)
+        re-running the tracker on a REPLACEMENT video ([T H W] pre-gray
+        in uint8 scale accepted by both LK backends).
+        noise_sigma: pre-computed estimate (track_chunks' accumulated
+        per-chunk device stats); None = estimate from the video here.
+        Returns (tracks, visible, engaged).
+        """
+        if not (
+            isinstance(self.matcher, str)  # adaptive policy = 'auto' only
+            and self.corr_radius == 0  # user-set corr config wins
+            and self._collapse_engage(visible)
+        ):
+            return tracks, visible, False
+        if noise_sigma is None:
+            from tdspa.features.matcher import estimate_degradation
+
+            noise_sigma = estimate_degradation(video)["noise_sigma"]
+        if noise_sigma < AUTO_DENOISE_MIN_NOISE:
+            return tracks, visible, False
+        import jax.numpy as jnp
+
+        from tdspa.ops.filters import gaussian_blur_video
+        from tdspa.ops.lk import _to_gray
+
+        blurred = gaussian_blur_video(
+            _to_gray(jnp.asarray(video)) * 255.0, sigma=AUTO_DENOISE_SIGMA
+        )
+        d_tracks, d_visible = retrack(blurred, kwargs)
+        drop = self._occluded_frac(visible) - self._occluded_frac(d_visible)
+        if drop > AUTO_DENOISE_MIN_DROP:
+            return d_tracks, d_visible, True
+        return tracks, visible, False
 
     def _maybe_stabilize(self, tracks):
         """Auto-mode escalation gate for strong camera roll.
@@ -406,8 +485,13 @@ class PyramidalLKTracker:
                 stab_fit = self._maybe_stabilize(tracks)
                 if stab_fit is not None:
                     return self._stabilized_result(video, stab_fit)
+            tracks, visible, denoised = self._maybe_denoise(
+                lambda vid, kw: track_video_lk_pallas(vid, queries, **kw),
+                video, kwargs, tracks, visible,
+            )
             m = self._matcher_for(
-                video, lk_visible=visible, rescue_drop=rescue_drop
+                video, lk_visible=visible, rescue_drop=rescue_drop,
+                denoised=denoised,
             )
             if m is not None:
                 tracks, visible = self._apply_matcher(video, tracks, m)
@@ -440,8 +524,14 @@ class PyramidalLKTracker:
                     return self._stabilized_result(
                         np.asarray(video), stab_fit
                     )
+            tracks, visible, denoised = self._maybe_denoise(
+                lambda vid, kw: track_video_lk(np.asarray(vid), queries,
+                                               **kw),
+                video, kwargs, tracks, visible,
+            )
             m = self._matcher_for(
-                video, lk_visible=visible, rescue_drop=rescue_drop
+                video, lk_visible=visible, rescue_drop=rescue_drop,
+                denoised=denoised,
             )
             if m is not None:
                 # This branch runs under jax.default_device(cpu) on TPU
@@ -556,7 +646,20 @@ class PyramidalLKTracker:
                 return self._stabilized_result(
                     jnp.concatenate(chunks, axis=0), stab_fit
                 )
-        if chunk_stats and (
+        # Denoise escalation — noise estimate from the already-accumulated
+        # per-chunk device stats (max over chunks: a noisy SEGMENT collapses
+        # its span of the track timeline). The blurred re-track's template
+        # defaults to frame 0 of the blurred concatenation, matching the
+        # single-call path on the smoothed video.
+        tracks_cat, vis_cat, denoised = self._maybe_denoise(
+            lambda vid, kw: track_video_lk_pallas(vid, queries, **kw),
+            jnp.concatenate(chunks, axis=0), kwargs, tracks_cat, vis_cat,
+            noise_sigma=(
+                max(float(s[0]) / 0.37 for s in chunk_stats)
+                if chunk_stats else None
+            ),
+        )
+        if chunk_stats and not denoised and (
             self._auto_engage(chunk_stats)
             or (rescue_drop < 0.1 and self._collapse_engage(vis_cat))
         ):

@@ -349,3 +349,70 @@ def test_strong_roll_stabilized_retrack_chunked():
     )
     assert q["pts_within_2"] > 0.9, q
     assert q["visibility_accuracy"] > 0.9, q
+
+
+def test_noise_collapse_denoise_escalation():
+    """Appearance-driven collapse (heavy noise over natural texture —
+    the regime found by the round-5 gate-margin stress, docs/BENCHMARKS
+    "Natural-statistics scenes"): the motion rescue can't help (the
+    fine-scale signal is gone, not the motion model), so the auto policy
+    escalates to a re-track on Gaussian-smoothed luma. Measured: plain
+    classical pts-within-2 0.25 / visibility accuracy 0.12; denoised
+    auto 0.44 / 0.76."""
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=0, noise_sigma=10.0, contrast=0.7, texture="natural"
+    )
+    plain = PyramidalLKTracker(grid_size=12, device="cpu", matcher=None)
+    q_plain = tracking_quality(plain(video), gt_tracks, gt_vis)
+    auto = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+    q_auto = tracking_quality(auto(video), gt_tracks, gt_vis)
+    assert q_plain["pts_within_2"] < 0.35, q_plain  # the collapse is real
+    assert q_auto["pts_within_2"] > q_plain["pts_within_2"] + 0.1, (
+        q_plain, q_auto,
+    )
+    assert q_auto["visibility_accuracy"] > 0.6, q_auto
+
+
+def test_denoise_never_engages_on_clean_content(monkeypatch):
+    """The denoise escalation must be a no-op on healthy content: the
+    collapse gate (and the noise floor) keep it off, so clean results
+    are bit-identical with and without the policy hook."""
+    calls = []
+    orig = PyramidalLKTracker._maybe_denoise
+
+    def spy(self, retrack, video, kwargs, tracks, visible, noise_sigma=None):
+        out = orig(self, retrack, video, kwargs, tracks, visible,
+                   noise_sigma=noise_sigma)
+        calls.append(out[2])
+        return out
+
+    monkeypatch.setattr(PyramidalLKTracker, "_maybe_denoise", spy)
+    video, gt_tracks, gt_vis = make_tracking_scene(seed=0)
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+    q = tracking_quality(tracker(video), gt_tracks, gt_vis)
+    assert calls == [False], calls  # hook ran, escalation declined
+    assert q["pts_within_2"] > 0.9, q
+
+
+def test_noise_collapse_denoise_chunked():
+    """The chunked (pipeline) path carries the denoise escalation with
+    the noise estimate taken from the accumulated per-chunk device stats
+    (no extra host fetch). Same scene as the single-call test, split in
+    two chunks; 16 frames keeps interpret-mode runtime sane."""
+    import jax.numpy as jnp
+
+    video, gt_tracks, gt_vis = make_tracking_scene(
+        seed=0, noise_sigma=10.0, contrast=0.7, texture="natural",
+        num_frames=16,
+    )
+    tracker = PyramidalLKTracker(grid_size=12, device="cpu", matcher="auto")
+    chunks = [jnp.asarray(video[:8]), jnp.asarray(video[8:])]
+    out = tracker.track_chunks(chunks, interpret=True)
+    q = tracking_quality(
+        {"tracks": np.asarray(out["tracks"]),
+         "visible": np.asarray(out["visible"])},
+        gt_tracks, gt_vis,
+    )
+    plain = PyramidalLKTracker(grid_size=12, device="cpu", matcher=None)
+    q_plain = tracking_quality(plain(video), gt_tracks, gt_vis)
+    assert q["pts_within_2"] > q_plain["pts_within_2"] + 0.1, (q_plain, q)
