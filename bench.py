@@ -41,8 +41,16 @@ import time
 # back to random init either way).
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 # Big programs (streamed pipeline, scan-chunked decoder) take 20-35 min to
-# compile through the tunnel on a cold cache; persist compilations.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdspa_jax_cache")
+# compile through the tunnel on a cold cache; persist compilations. The
+# directory is namespaced by the host CPU fingerprint — entries compiled
+# on a different host segfault at load (tdspa/utils/cache.py).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tdspa.utils.cache import fingerprinted_cache_dir  # noqa: E402
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    fingerprinted_cache_dir("/tmp/tdspa_jax_cache"),
+)
 
 if os.environ.get("BENCH_MODE", "") in ("decode", "e2e"):
     # Measurement child / direct invocation: touch the backend here.

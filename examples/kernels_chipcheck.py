@@ -29,7 +29,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdspa_jax_cache")
+from tdspa.utils.cache import fingerprinted_cache_dir  # noqa: E402
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    fingerprinted_cache_dir("/tmp/tdspa_jax_cache"),
+)
 
 import jax
 import jax.numpy as jnp

@@ -2,13 +2,33 @@
 
 import os
 
-from tdspa.utils.cache import enable_persistent_compilation_cache
+from tdspa.utils.cache import (
+    enable_persistent_compilation_cache,
+    fingerprinted_cache_dir,
+    host_fingerprint,
+)
+
+
+def test_host_fingerprint_stable_and_short():
+    fp = host_fingerprint()
+    assert fp == host_fingerprint()  # deterministic on one host
+    assert len(fp) == 10
 
 
 def test_cache_env_var_wins(monkeypatch, tmp_path):
     monkeypatch.delenv("TDSPA_NO_COMPILE_CACHE", raising=False)
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "envdir"))
-    assert enable_persistent_compilation_cache() == str(tmp_path / "envdir")
+    try:
+        # Env dir is honored but namespaced by the host CPU fingerprint
+        # (foreign-host XLA:CPU AOT entries segfault at load).
+        assert enable_persistent_compilation_cache() == fingerprinted_cache_dir(
+            str(tmp_path / "envdir")
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_cache_explicit_path(monkeypatch, tmp_path):
@@ -17,10 +37,11 @@ def test_cache_explicit_path(monkeypatch, tmp_path):
 
     prev = jax.config.jax_compilation_cache_dir
     target = str(tmp_path / "cache")
+    expect = fingerprinted_cache_dir(target)
     try:
-        assert enable_persistent_compilation_cache(target) == target
-        assert os.path.isdir(target)
-        assert jax.config.jax_compilation_cache_dir == target
+        assert enable_persistent_compilation_cache(target) == expect
+        assert os.path.isdir(expect)
+        assert jax.config.jax_compilation_cache_dir == expect
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
 
