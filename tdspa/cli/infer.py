@@ -113,6 +113,11 @@ flags.DEFINE_bool(
     "Enable jax_debug_nans: any op producing a NaN raises with a traceback "
     "(re-runs the offending computation op-by-op; debug only)",
 )
+flags.DEFINE_string(
+    "profile_dir", None,
+    "Write a jax.profiler (Perfetto/XProf-compatible) trace of the "
+    "pipeline run to this directory (SURVEY §5 tracing row)",
+)
 
 
 def _build_track_provider():
@@ -197,7 +202,13 @@ def main(argv):
         tracking_input_scale=FLAGS.tracking_input_scale,
         fused_block=FLAGS.fused_block,
     )
-    results = pipeline.run(FLAGS.video_path)
+    if FLAGS.profile_dir:
+        from tdspa.utils.profiling import profile_trace
+
+        with profile_trace(FLAGS.profile_dir):
+            results = pipeline.run(FLAGS.video_path)
+    else:
+        results = pipeline.run(FLAGS.video_path)
     save_results(results, FLAGS.output_dir)
     logging.info("Inference completed!")
 

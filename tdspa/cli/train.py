@@ -52,6 +52,11 @@ flags.DEFINE_bool(
     "Enable jax_debug_nans: any op producing a NaN raises with a traceback "
     "(re-runs the offending computation op-by-op; debug only)",
 )
+flags.DEFINE_string(
+    "profile_dir", None,
+    "Write a jax.profiler (Perfetto/XProf-compatible) trace of the "
+    "training run to this directory (SURVEY §5 tracing row)",
+)
 flags.DEFINE_string("log_jsonl", None, "Also append metrics to this JSONL file")
 flags.DEFINE_integer("num_support_tracks", 2048, "Support tracks per example")
 flags.DEFINE_integer("num_query_tracks", 2048, "Query tracks per example")
@@ -150,25 +155,33 @@ def main(argv):
         overrides["dtype"] = jnp.bfloat16
 
     logging.info("devices: %s", jax.devices())
-    train(
-        train_ds,
-        eval_ds=eval_ds,
-        model_type=FLAGS.model_type,
-        num_epochs=FLAGS.num_epochs,
-        learning_rate=FLAGS.learning_rate,
-        warmup_steps=FLAGS.warmup_steps,
-        num_output_frames=FLAGS.num_output_frames,
-        use_dino=FLAGS.use_dino,
-        use_depth=FLAGS.use_depth,
-        eval_freq=FLAGS.eval_freq,
-        save_freq=FLAGS.save_freq,
-        log_freq=FLAGS.log_freq,
-        checkpoint_dir=FLAGS.checkpoint_dir,
-        logger=logger,
-        max_steps=FLAGS.max_steps,
-        grad_accum_steps=FLAGS.grad_accum_steps,
-        **overrides,
-    )
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if FLAGS.profile_dir:
+        from tdspa.utils.profiling import profile_trace
+
+        trace_ctx = profile_trace(FLAGS.profile_dir)
+    with trace_ctx:
+        train(
+            train_ds,
+            eval_ds=eval_ds,
+            model_type=FLAGS.model_type,
+            num_epochs=FLAGS.num_epochs,
+            learning_rate=FLAGS.learning_rate,
+            warmup_steps=FLAGS.warmup_steps,
+            num_output_frames=FLAGS.num_output_frames,
+            use_dino=FLAGS.use_dino,
+            use_depth=FLAGS.use_depth,
+            eval_freq=FLAGS.eval_freq,
+            save_freq=FLAGS.save_freq,
+            log_freq=FLAGS.log_freq,
+            checkpoint_dir=FLAGS.checkpoint_dir,
+            logger=logger,
+            max_steps=FLAGS.max_steps,
+            grad_accum_steps=FLAGS.grad_accum_steps,
+            **overrides,
+        )
     logging.info("Training completed")
 
 

@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+from tdspa.utils.cache import fingerprinted_cache_dir
+
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ENV = dict(
@@ -15,7 +17,9 @@ ENV = dict(
     PALLAS_AXON_POOL_IPS="",
     JAX_PLATFORMS="cpu",
     PYTHONPATH=REPO,
-    JAX_COMPILATION_CACHE_DIR="/tmp/tdspa_jax_cache",
+    # Host-fingerprinted: the raw /tmp path is shared across rounds' hosts
+    # and foreign XLA:CPU AOT entries segfault at load (CLAUDE.md).
+    JAX_COMPILATION_CACHE_DIR=fingerprinted_cache_dir("/tmp/tdspa_jax_cache"),
 )
 
 
@@ -34,12 +38,20 @@ def test_train_cli_tiny(tmp_path):
         "--nouse_dino", "--nouse_depth", "--eval_freq=1000", "--save_freq=2",
         "--num_support_tracks=8", "--num_query_tracks=8", "--log_freq=1",
         f"--log_jsonl={tmp_path}/metrics.jsonl",
+        f"--profile_dir={tmp_path}/trace",
     ])
     assert res.returncode == 0, res.stderr[-3000:]
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert any("train/loss" in l for l in lines)
     # Orbax checkpoint directory written at step 2.
     assert os.path.isdir(tmp_path / "ckpt" / "2")
+    # --profile_dir wrote a jax.profiler (Perfetto/XProf) trace
+    # (SURVEY §5 tracing row): the dump lands under plugins/profile/<ts>/.
+    trace_files = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(tmp_path / "trace") for f in files
+    ]
+    assert trace_files, "profile_dir produced no trace files"
 
 
 def test_evaluate_cli_synthetic(tmp_path):
