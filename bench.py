@@ -23,6 +23,12 @@ and prints ONE JSON line headlined by the north-star metric:
 ``BENCH_MODE=decode`` runs only the micro-benchmark (fast);
 ``BENCH_MODE=e2e`` runs only the pipeline measurement.
 
+Default orchestration additionally measures the SERVING configuration
+(bf16 residual + half-res depth tail + tanh GELU + grid-56 tracking)
+when the main e2e pass ran fast enough to indicate a warm cache/healthy
+tunnel, reporting it as additive ``serving_e2e_*`` fields
+(``BENCH_SERVING_TIMEOUT=0`` disables).
+
 ``BENCH_RESID`` picks the residual-stream dtype: the decode micro-bench
 defaults to ``bf16`` (the serving config, +22% measured), the e2e mode
 defaults to ``f32`` (the recorded north-star number stays
@@ -357,12 +363,40 @@ def _orchestrate():
         return
     # The rounds-1/2 decode rate rides along for comparability; the
     # north-star e2e metric is the headline when it completes.
-    report, _ = _run_child("e2e", timeout_s=t_e2e)
+    report, e2e_elapsed = _run_child("e2e", timeout_s=t_e2e)
     if report is None:
         decode["note"] = "e2e stage failed/timed out; decode-only record"
         print(json.dumps(decode))
         return
     report["decodes_per_sec_per_chip"] = decode["value"]
+    # Serving-config e2e (bf16 residual + half-res depth tail + tanh GELU
+    # + grid-56 tracking — docs/SERVING.md; measured 2.618 s/video in a
+    # healthy window). Additive fields; the headline stays
+    # reference-numerics. Skipped when the main e2e child itself ran long
+    # (cold compile cache / degraded tunnel): the serving variant compiles
+    # DIFFERENT programs, so a cold pass could double a slow round.
+    t_serving = int(os.environ.get("BENCH_SERVING_TIMEOUT", 2100))
+    if t_serving > 0 and e2e_elapsed < int(
+        os.environ.get("BENCH_SERVING_SKIP_ABOVE", 1200)
+    ):
+        serving, _ = _run_child(
+            "e2e", timeout_s=t_serving,
+            extra_env={
+                "BENCH_RESID": "bf16", "BENCH_DEPTH_SCALE": "0.5",
+                "BENCH_FAST_GELU": "1", "BENCH_TRACK_GRID": "56",
+            },
+        )
+        if serving is not None:
+            report["serving_e2e_s"] = serving["value"]
+            report["serving_e2e_vs_baseline"] = serving["vs_baseline"]
+            report["serving_e2e_runs_s"] = serving["compute_runs_s"]
+            report["serving_stage_timings_s"] = serving["stage_timings_s"]
+            report["serving_config"] = (
+                "bf16_residual + depth_output_scale=0.5 + fast_gelu "
+                "+ tracking_grid=56 (docs/SERVING.md)"
+            )
+        else:
+            report["serving_note"] = "serving e2e child failed/timed out"
     print(json.dumps(report))
 
 
