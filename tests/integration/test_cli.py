@@ -102,6 +102,54 @@ def test_evaluate_cli_synthetic(tmp_path):
     assert loaded["split"] == {"mysource": "all_files"}
 
 
+def test_export_cli_tiny(tmp_path):
+    """AOT export CLI: artifact + manifest land, and the artifact runs."""
+    res = _run([
+        "tdspa.cli.export", "--tiny_model",
+        f"--output_path={tmp_path}/tail.shlo",
+        "--num_output_frames=8", "--video_height=32", "--video_width=32",
+        "--tracking_grid_size=4", "--num_query_points=4",
+        "--num_support_tracks=8", "--dino_dim=8",
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    manifest = json.loads((tmp_path / "tail.shlo.json").read_text())
+    assert manifest["num_tracks"] == 16
+    assert manifest["num_queries"] == 4
+    assert manifest["platforms"] == ["cpu"]
+
+    # The artifact is runnable from the manifest alone (random-init weights
+    # regenerated in-process: the artifact itself is weight-free).
+    import jax
+    import jax.numpy as jnp
+
+    from tdspa.infer.export import load_exported
+    from tdspa.utils.testing import tiny_model_3d
+
+    t, n = manifest["num_output_frames"], manifest["num_tracks"]
+    h, w = manifest["video_hw"]
+    model = tiny_model_3d(t, use_dino=True, use_depth=True, dino_feature_dim=8)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    tracks_2d = jax.random.uniform(keys[0], (n, t, 2), maxval=w - 1.0)
+    visible = (jax.random.uniform(keys[1], (n, t, 1)) > 0.2).astype(jnp.float32)
+    # DINOv2 patch-14 grid of the patch-multiple resize (export.py default).
+    dino_grid = jax.random.normal(keys[2], (t, h // 14, w // 14, 8))
+    depth_maps = jax.random.uniform(keys[3], (t, h, w, 1), minval=0.5, maxval=4.0)
+    from tdspa.data.batch_prep import split_and_sample_queries
+
+    batch = split_and_sample_queries(
+        jax.random.PRNGKey(0), jnp.zeros((n, t, 3)), jnp.ones((n, t, 1)),
+        manifest["num_support"], manifest["num_queries"], t,
+        dino_features=jnp.zeros((n, t, 8)),
+        depth_features=jnp.zeros((n, t, 256)),
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(42), batch)["params"]
+    out = load_exported(str(tmp_path / "tail.shlo")).call(
+        params, jnp.uint32(0), tracks_2d, visible, dino_grid, depth_maps
+    )
+    assert out["tracks"].shape == (1, 4, t, 3)
+    assert bool(jnp.all(jnp.isfinite(out["tracks"])))
+
+
 def test_visualize_cli(tmp_path):
     pytest.importorskip("cv2")
     rng = np.random.default_rng(0)
