@@ -154,6 +154,38 @@ def export_serving_tail(
     return jexport.export(jax.jit(fn), **kwargs)(*args)
 
 
+def export_model_forward(
+    model: Any, params: Any, example_batch: dict,
+    platforms: Sequence[str] | None = None,
+):
+    """Export a bare ``model.apply`` forward (TRAJAN-2D or 3DSPA).
+
+    For deployments that prepare batches themselves (eval harnesses,
+    training-side scoring): ``call(params, batch)`` -> dict of ``tracks`` /
+    ``visible_logits`` / ``certain_logits``. ``example_batch`` fixes the
+    batch pytree's shapes/dtypes (only specs enter the artifact).
+    """
+    from jax import export as jexport
+
+    def fn(params, batch):
+        res = model.apply({"params": params}, batch)
+        return {
+            "tracks": res.tracks,
+            "visible_logits": res.visible_logits,
+            "certain_logits": res.certain_logits,
+        }
+
+    specs = jax.tree.map(
+        lambda x: _spec(x.shape, x.dtype), (params, dict(example_batch))
+    )
+    kwargs = {"disabled_checks": (
+        jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+    )}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(fn), **kwargs)(*specs)
+
+
 def save_exported(exported, path: str, extra_manifest: dict | None = None):
     """Write the serialized artifact to ``path`` + a ``.json`` manifest."""
     data = exported.serialize()

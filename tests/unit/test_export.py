@@ -135,6 +135,33 @@ def test_feature_args_dropped_when_disabled(tmp_path):
     assert bool(jnp.all(jnp.isfinite(out["tracks"])))
 
 
+def test_model_forward_export_trajan2d(tmp_path):
+    """Bare-forward export covers the 2D family too (roundtrip parity)."""
+    from tdspa.infer.export import export_model_forward
+    from tdspa.utils.testing import synthetic_batch, tiny_model_2d
+
+    model = tiny_model_2d(T)
+    batch = synthetic_batch(
+        jax.random.PRNGKey(0), batch=2, num_support=8, num_queries=4,
+        num_frames=T, num_coords=2,
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), batch)["params"]
+    live = model.apply({"params": params}, batch)
+
+    exported = export_model_forward(model, params, batch)
+    path = str(tmp_path / "fwd2d.shlo")
+    save_exported(exported, path)
+    out = load_exported(path).call(params, dict(batch))
+    np.testing.assert_allclose(
+        np.asarray(out["tracks"]), np.asarray(live.tracks),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["visible_logits"]), np.asarray(live.visible_logits),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_load_path_needs_no_model_modules():
     """A serving binary imports export.py for load_exported() only — that
     must not drag in the pipeline/model stack (flax tracing deps)."""
