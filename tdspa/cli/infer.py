@@ -114,6 +114,13 @@ flags.DEFINE_bool(
     "(re-runs the offending computation op-by-op; debug only)",
 )
 flags.DEFINE_string(
+    "tail_artifact", None,
+    "Pre-exported AOT artifact of the fused tail (tdspa-export): dispatch "
+    "the deserialized program instead of tracing the tail at startup. "
+    "Traced shapes must match this run's operating point "
+    "(docs/SERVING.md 'AOT export')",
+)
+flags.DEFINE_string(
     "profile_dir", None,
     "Write a jax.profiler (Perfetto/XProf-compatible) trace of the "
     "pipeline run to this directory (SURVEY §5 tracing row)",
@@ -201,6 +208,7 @@ def main(argv):
         gelu_approximate=FLAGS.fast_gelu,
         tracking_input_scale=FLAGS.tracking_input_scale,
         fused_block=FLAGS.fused_block,
+        tail_artifact=FLAGS.tail_artifact,
     )
     if FLAGS.profile_dir:
         from tdspa.utils.profiling import profile_trace

@@ -91,6 +91,11 @@ def make_serving_fn(
             "certain_logits": preds.certain_logits,
             "query_points": batch["query_points"],
             "tracks_3d": tracks_3d,
+            # The split's two sides: what scoring compares predictions
+            # against (and what InferencePipeline(tail_artifact=...) needs
+            # to reconstruct its results dict).
+            "support_tracks": batch["support_tracks"],
+            "query_tracks": batch["query_tracks"],
         }
 
     return fn

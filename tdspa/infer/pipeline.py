@@ -210,6 +210,7 @@ class InferencePipeline:
         gelu_approximate: bool = False,
         tracking_input_scale: float = 1.0,
         fused_block: bool = False,
+        tail_artifact: str | None = None,
     ):
         self.num_output_frames = num_output_frames
         self.use_dino = use_dino
@@ -269,6 +270,13 @@ class InferencePipeline:
             fused_block=fused_block,
         )
         self._mesh_tail = None
+        # Path to a pre-exported AOT artifact of the fused tail
+        # (tdspa.infer.export / `tdspa-export`): skips the tail's trace at
+        # startup and dispatches the deserialized program instead. The
+        # artifact's traced shapes/config must match this pipeline's
+        # operating point (jax.export checks and raises otherwise).
+        self.tail_artifact = tail_artifact
+        self._artifact_tail = None
         self._track_provider = track_provider
         self._dino_extractor = dino_extractor
         self._depth_provider = depth_provider
@@ -529,6 +537,32 @@ class InferencePipeline:
                 depth_maps,
                 jax.random.PRNGKey(self.seed),
             )
+        elif self.tail_artifact:
+            if self._artifact_tail is None:
+                from tdspa.infer.export import load_exported
+
+                self._artifact_tail = load_exported(self.tail_artifact)
+            features = []
+            if self.use_dino:
+                features.append(dino_grid)
+            if self.use_depth:
+                features.append(depth_maps)
+            out = self._artifact_tail.call(
+                self.params, jnp.uint32(self.seed), tracks_2d, visible,
+                *features,
+            )
+            from tdspa.models.containers import TrackAutoEncoderResults
+
+            predictions = TrackAutoEncoderResults(
+                tracks=out["tracks"],
+                visible_logits=out["visible_logits"],
+                certain_logits=out["certain_logits"],
+            )
+            batch = {
+                "support_tracks": out["support_tracks"],
+                "query_tracks": out["query_tracks"],
+            }
+            tracks_3d = out["tracks_3d"]
         else:
             predictions, batch, tracks_3d = fused_tail(
                 self.params,

@@ -72,6 +72,58 @@ def test_pipeline_deterministic_split(pipeline):
     )
 
 
+def test_pipeline_tail_artifact_matches_live(pipeline, tmp_path_factory):
+    """InferencePipeline(tail_artifact=...) reproduces the live tail
+    exactly (same program through the AOT roundtrip, same seed fold)."""
+    from tdspa.infer.export import export_serving_tail, save_exported
+
+    video = _video()
+    live = pipeline.run_on_frames(video)
+    if pipeline.params is None:  # populated by the first run
+        raise AssertionError("pipeline should have params after a run")
+
+    path = str(tmp_path_factory.mktemp("aot") / "tail.shlo")
+    t, h, w = video.shape[:3]
+    exported = export_serving_tail(
+        pipeline.model, pipeline.params,
+        num_tracks=16, num_frames=t, video_hw=(h, w),
+        num_support=10, num_queries=6,
+        use_dino=False, use_depth=True,
+    )
+    save_exported(exported, path)
+
+    aot = InferencePipeline(
+        num_output_frames=T,
+        use_dino=False,
+        use_depth=True,
+        num_query_points=6,
+        num_support_tracks=10,
+        track_provider=StaticGridProvider(grid_size=4),
+        depth_provider=ConstantDepthProvider(),
+        model=pipeline.model,
+        params=pipeline.params,
+        tail_artifact=path,
+    )
+    got = aot.run_on_frames(video)
+    np.testing.assert_array_equal(
+        np.asarray(got["predictions"].tracks),
+        np.asarray(live["predictions"].tracks),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["predictions"].visible_logits),
+        np.asarray(live["predictions"].visible_logits),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["query_tracks"]), np.asarray(live["query_tracks"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["support_tracks"]), np.asarray(live["support_tracks"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["tracks_3d"]), np.asarray(live["tracks_3d"])
+    )
+
+
 def test_pipeline_lift_matches_host_op(pipeline):
     """Fused-tail lifting equals the standalone geometry op."""
     from tdspa.ops.geometry import lift_2d_to_3d

@@ -89,7 +89,7 @@ def test_roundtrip_matches_live_program(model_and_params, tmp_path):
 
     assert set(out) == {
         "tracks", "visible_logits", "certain_logits", "query_points",
-        "tracks_3d",
+        "tracks_3d", "support_tracks", "query_tracks",
     }
     assert out["tracks"].shape == (1, N_QUERIES, T, 3)
     for k in live:
