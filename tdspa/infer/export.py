@@ -159,6 +159,86 @@ def export_serving_tail(
     return jexport.export(jax.jit(fn), **kwargs)(*args)
 
 
+def register_result_serialization():
+    """Register ``TrackAutoEncoderResults`` with jax.export's serializer.
+
+    The container is a flax.struct dataclass with empty aux data, so the
+    registration is trivial; idempotent (safe to call per export)."""
+    from jax import export as jexport
+
+    from tdspa.models.containers import TrackAutoEncoderResults
+
+    try:
+        jexport.register_pytree_node_serialization(
+            TrackAutoEncoderResults,
+            serialized_name="tdspa.models.TrackAutoEncoderResults",
+            serialize_auxdata=lambda aux: b"",
+            deserialize_auxdata=lambda b: (),
+        )
+    except ValueError:
+        pass  # already registered in this process
+
+
+def export_mesh_tail(
+    mesh, model, num_support: int, num_queries: int, video_hw: tuple,
+    use_dino: bool = True, use_depth: bool = True, *, params, tracks_2d_shape,
+    dino_grid_shape=None, depth_maps_shape=None,
+):
+    """Export the MULTI-CHIP fused tail (``make_mesh_tail``) as an AOT
+    artifact with its shardings baked in.
+
+    The artifact records the mesh's device assignment (``nr_devices``) and
+    every input/output sharding; a serving host deserializes it and calls
+    with the same device count — no model source, no re-trace, kernels'
+    ``custom_partitioning`` rules already applied at export time. Call
+    signature matches ``make_mesh_tail``'s tail: ``(params, tracks_2d,
+    visible, dino_grid, depth_maps, key)`` -> (results, batch, tracks_3d).
+    """
+    from jax import export as jexport
+
+    from tdspa.infer.pipeline import make_mesh_tail
+
+    register_result_serialization()
+    tail = make_mesh_tail(
+        mesh, model, num_support, num_queries, tuple(video_hw), use_dino,
+        use_depth,
+    )
+    n, t = tracks_2d_shape[0], tracks_2d_shape[1]
+    param_specs = jax.tree.map(lambda x: _spec(x.shape, x.dtype), params)
+    # A concrete key stands in as the spec: typed-key avals can't be built
+    # via ShapeDtypeStruct, and export only reads its shape/dtype.
+    key_spec = jax.random.PRNGKey(0)
+    return jexport.export(
+        tail,
+        disabled_checks=(
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+        ),
+    )(
+        param_specs,
+        _spec((n, t, 2)),
+        _spec((n, t, 1)),
+        _spec(dino_grid_shape) if use_dino else None,
+        _spec(depth_maps_shape) if use_depth else None,
+        key_spec,
+    )
+
+
+def call_exported_mesh(exported, mesh, *args):
+    """Call a mesh-exported artifact on a live mesh of the same size.
+
+    The deserialized artifact refuses a 1-device call context, so inputs
+    are committed leaf-wise to the artifact's own recorded shardings laid
+    over ``mesh`` (``Exported.in_shardings_jax`` is flat, one entry per
+    leaf) and the call runs under jit.
+    """
+    flat, tree = jax.tree.flatten(args)
+    put = [
+        jax.device_put(x, s)
+        for x, s in zip(flat, exported.in_shardings_jax(mesh), strict=True)
+    ]
+    return jax.jit(exported.call)(*jax.tree.unflatten(tree, put))
+
+
 def export_model_forward(
     model: Any, params: Any, example_batch: dict,
     platforms: Sequence[str] | None = None,
@@ -221,6 +301,18 @@ def load_exported(path: str):
 
     with open(path, "rb") as f:
         return jexport.deserialize(f.read())
+
+
+def load_exported_mesh(path: str):
+    """Deserialize a MESH-TAIL artifact (``export_mesh_tail``).
+
+    Its output pytree embeds ``TrackAutoEncoderResults``, so the custom
+    pytree serialization must be registered before deserializing — which
+    pulls in the model containers (unlike the jax-only ``load_exported``).
+    Call via :func:`call_exported_mesh` on a live same-size mesh.
+    """
+    register_result_serialization()
+    return load_exported(path)
 
 
 def read_manifest(path: str) -> dict:

@@ -240,3 +240,53 @@ def test_mesh_tail_serving_config(monkeypatch):
     ref_v = np.asarray(ref_pred.visible_logits)
     got_v = np.asarray(got_pred.visible_logits, dtype=np.float32)
     assert np.abs(ref_v - got_v).max() / np.abs(ref_v).max() < 0.05
+
+
+@requires_8
+def test_mesh_tail_aot_export_roundtrip(tmp_path):
+    """Multi-chip AOT artifact (export_mesh_tail): serialize -> deserialize
+    -> call on a live same-size mesh == the live mesh tail exactly."""
+    from tdspa.infer.export import (
+        call_exported_mesh,
+        export_mesh_tail,
+        load_exported_mesh,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    tracks_2d, visible, dino_grid, depth_maps = _front_end(rng)
+    model = tiny_model_3d(T, use_dino=True, use_depth=True, dino_feature_dim=8)
+    key = jax.random.PRNGKey(7)
+    params = _init_params(model, tracks_2d, visible, dino_grid, depth_maps, key)
+
+    mesh = make_mesh(seq=2)
+    live = make_mesh_tail(mesh, model, N_SUPPORT, N_QUERIES, (H, W), True, True)(
+        params, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+
+    exported = export_mesh_tail(
+        mesh, model, N_SUPPORT, N_QUERIES, (H, W), True, True,
+        params=params, tracks_2d_shape=(N_TRACKS, T),
+        dino_grid_shape=(T, 4, 4, 8), depth_maps_shape=(T, H, W, 1),
+    )
+    assert exported.nr_devices == 8
+    path = str(tmp_path / "mesh_tail.shlo")
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+    back = load_exported_mesh(path)
+    out_pred, out_batch, out_tracks3d = call_exported_mesh(
+        back, mesh, params, tracks_2d, visible, dino_grid, depth_maps, key
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_pred.tracks), np.asarray(live[0].tracks)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_pred.visible_logits), np.asarray(live[0].visible_logits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_batch["query_tracks"]),
+        np.asarray(live[1]["query_tracks"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_tracks3d), np.asarray(live[2])
+    )
